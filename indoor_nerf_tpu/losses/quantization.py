@@ -1,0 +1,241 @@
+"""A-CAQ: learned-bitwidth fake quantization of hash tables and MLP tensors.
+
+TPU-native redesign of PocketNeRF/quantization.py plus the A-CAQ heuristic
+bitwidth controller embedded in the reference train loop
+(reference: run_nerf.py:1182-1286).
+
+Key observation carried over from the reference: the quantizer "parameters"
+(``soft_bits``, ``range_scale``, ``v_max``) receive NO gradients — the
+straight-through estimator ``x + (x_dq - x).detach()`` detaches every
+scale-dependent term — so they are plain state, not trainable params. Here
+they live in a ``quant_state`` pytree updated by (a) a one-shot running
+min/max calibration on the first training batch
+(reference: quantization.py:97-119) and (b) the every-10-iters heuristic
+controller (reference: run_nerf.py:1226-1252). Both updates are pure
+functions of the state and run inside the jitted train step under
+``lax.cond`` — no host round-trips on the hot path.
+
+Per-level hash quantizers are vectorized: one state pytree with ``[L]``
+leaves instead of L modules.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+QuantState = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantConfig:
+    """Static quantization hyperparameters.
+
+    (reference defaults: quantization.py:73, run_nerf.py:678-713,
+    hash_encoding.py:25 for the warmup)
+    """
+
+    init_bits: float = 8.0
+    min_bits: float = 2.0
+    max_bits: float = 32.0
+    n_embed_levels: int = 16
+    n_act_quantizers: int = 1  # NeRFSmall num_layers - 1
+    warmup_steps: int = 500  # hash-quant warmup, in optimizer steps
+    bit_penalty: float = 1e-3
+    target_metric: Optional[float] = None  # MGL target; None = MDL mode
+    acaq_interval: int = 10
+
+
+def _group(shape, init_bits: float, symmetric: bool) -> QuantState:
+    """One vectorized quantizer group (reference: quantization.py:73-95)."""
+    g = {
+        "soft_bits": jnp.full(shape, init_bits, jnp.float32),
+        "range_scale": jnp.full(shape, 0.0002, jnp.float32),
+        "running_min": jnp.full(shape, jnp.inf, jnp.float32),
+        "running_max": jnp.full(shape, -jnp.inf, jnp.float32),
+        "calibrated": jnp.zeros(shape, jnp.bool_),
+    }
+    if not symmetric:
+        g["v_max"] = jnp.full(shape, 0.0001, jnp.float32)
+    return g
+
+
+def init_quant_state(config: QuantConfig) -> QuantState:
+    """Quantizer groups matching the reference layout: 16 asymmetric per-level
+    embed quantizers (hash_encoding.py:45-51), ``num_layers-1`` asymmetric
+    activation quantizers and 1 symmetric first-layer weight quantizer
+    (run_nerf_helpers.py:220-233)."""
+    return {
+        "embed": _group((config.n_embed_levels,), config.init_bits, symmetric=False),
+        "act": _group((config.n_act_quantizers,), config.init_bits, symmetric=False),
+        "weight": _group((), config.init_bits, symmetric=True),
+    }
+
+
+def fake_quant_fixed(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    zero_point: jnp.ndarray,
+    num_bits: int,
+    symmetric: bool = True,
+    train: bool = True,
+) -> jnp.ndarray:
+    """Fixed-bitwidth affine fake quantization with STE
+    (reference: quantization.py:6-62)."""
+    if symmetric:
+        qmin, qmax = -(2 ** (num_bits - 1)), 2 ** (num_bits - 1) - 1
+    else:
+        qmin, qmax = 0, 2**num_bits - 1
+    x_scaled = x / scale
+    if not symmetric:
+        x_scaled = x_scaled + zero_point
+    x_quant = jnp.clip(jnp.round(x_scaled), qmin, qmax)
+    x_dequant = (x_quant - zero_point) * scale
+    if train:
+        return x + jax.lax.stop_gradient(x_dequant - x)
+    return x_dequant
+
+
+def calibrate(group: QuantState, x: jnp.ndarray, symmetric: bool) -> QuantState:
+    """One-shot running min/max calibration (reference: quantization.py:97-119).
+
+    Applied lazily on the first training batch per quantizer; subsequent
+    calls are identity (the reference's ``calibrated`` flag).
+    """
+    done = group["calibrated"]
+    batch_min = jnp.minimum(group["running_min"], jnp.min(x))
+    batch_max = jnp.maximum(group["running_max"], jnp.max(x))
+    new = dict(group)
+    new["running_min"] = jnp.where(done, group["running_min"], batch_min)
+    new["running_max"] = jnp.where(done, group["running_max"], batch_max)
+    if symmetric:
+        max_abs = jnp.maximum(jnp.abs(batch_min), jnp.abs(batch_max))
+        new["range_scale"] = jnp.where(done, group["range_scale"], 2.0 * max_abs)
+    else:
+        new["range_scale"] = jnp.where(
+            done, group["range_scale"], batch_max - batch_min
+        )
+        new["v_max"] = jnp.where(done, group["v_max"], batch_max)
+    new["calibrated"] = jnp.ones_like(done)
+    return new
+
+
+def learned_fake_quant(
+    x: jnp.ndarray,
+    group: QuantState,
+    config: QuantConfig,
+    symmetric: bool,
+    train: bool = True,
+    idx=None,
+) -> jnp.ndarray:
+    """LearnedBitwidthQuantizer.forward (reference: quantization.py:144-187).
+
+    Args:
+      x: tensor to fake-quantize.
+      group: quantizer group state; if ``idx`` is given, the group leaves are
+        indexed (vectorized per-level quantizers).
+      symmetric: weights use symmetric, embeddings/activations asymmetric.
+      train: soft (float) bitwidth vs rounded integer bitwidth.
+    """
+    get = (lambda v: v if idx is None else v[idx])
+    soft_bits = get(group["soft_bits"])
+    range_scale = get(group["range_scale"])
+
+    bits = jnp.clip(soft_bits, config.min_bits, config.max_bits)
+    int_bits = jnp.round(bits)
+    # qmin/qmax always use the *integer* bitwidth, even in training
+    # (reference: quantization.py:131-142,149).
+    if symmetric:
+        qmin = -jnp.exp2(int_bits - 1.0)
+        qmax = jnp.exp2(int_bits - 1.0) - 1.0
+    else:
+        qmin = jnp.zeros_like(int_bits)
+        qmax = jnp.exp2(int_bits) - 1.0
+
+    b = bits if train else int_bits
+    if symmetric:
+        scale = range_scale / jnp.exp2(b - 1.0)
+        zero_point = jnp.zeros_like(scale)
+    else:
+        range_val = jnp.clip(range_scale, min=1e-8)
+        scale = range_val / (jnp.exp2(b) - 1.0)
+        v_max = get(group["v_max"])
+        zero_point = jnp.round(jnp.clip(v_max / scale, qmin, qmax))
+
+    x_scaled = x / (scale + 1e-8)
+    x_quant = jnp.clip(jnp.round(x_scaled + zero_point), qmin, qmax)
+    x_dequant = (x_quant - zero_point) * scale
+    if train:
+        return x + jax.lax.stop_gradient(x_dequant - x)
+    return x_dequant
+
+
+def _flat_bits(state: QuantState) -> jnp.ndarray:
+    """All soft bitwidths concatenated in the reference's controller order:
+    16 embed levels, then act quantizers, then the weight quantizer
+    (reference: run_nerf.py:1184-1194)."""
+    return jnp.concatenate(
+        [
+            state["embed"]["soft_bits"],
+            state["act"]["soft_bits"],
+            state["weight"]["soft_bits"][None],
+        ]
+    )
+
+
+def average_bits(state: QuantState, config: QuantConfig) -> jnp.ndarray:
+    """Mean clamped bitwidth over all quantizers (FQR,
+    reference: quantization.py:211-224)."""
+    return jnp.mean(
+        jnp.clip(_flat_bits(state), config.min_bits, config.max_bits)
+    )
+
+
+def acaq_controller_update(
+    state: QuantState,
+    current_loss: jnp.ndarray,
+    best_loss: jnp.ndarray,
+    config: QuantConfig,
+) -> Tuple[QuantState, jnp.ndarray, jnp.ndarray]:
+    """One A-CAQ bitwidth-controller step (reference: run_nerf.py:1210-1252).
+
+    Per quantizer i (in the reference's flat ordering):
+      loss_ratio = loss / target        (target = MGL target, or MDL
+                                         best_loss * 1.2)
+      delta = -0.3 | -0.1 | +0.2        by loss_ratio thresholds 0.95 / 1.05
+      delta -= bit_penalty * bits / 8
+      delta *= 1 + (i - n/2) * 0.02     (layer factor)
+      soft_bits = clip(soft_bits + delta, min_bits, max_bits)
+
+    Returns (new_state, new_best_loss, target_metric). Pure: callers gate it
+    on ``step % acaq_interval == 0`` with ``lax.cond``.
+    """
+    new_best = jnp.minimum(best_loss, current_loss)
+    if config.target_metric is not None:
+        target = jnp.asarray(config.target_metric, jnp.float32)
+    else:
+        target = new_best * 1.2
+
+    bits = _flat_bits(state)
+    n = bits.shape[0]
+    loss_ratio = current_loss / target
+    base_delta = jnp.where(
+        loss_ratio < 0.95, -0.3, jnp.where(loss_ratio < 1.05, -0.1, 0.2)
+    )
+    delta = base_delta - config.bit_penalty * bits / 8.0
+    layer_factor = 1.0 + (jnp.arange(n, dtype=jnp.float32) - n / 2.0) * 0.02
+    delta = delta * layer_factor
+    new_bits = jnp.clip(bits + delta, config.min_bits, config.max_bits)
+
+    n_embed = state["embed"]["soft_bits"].shape[0]
+    n_act = state["act"]["soft_bits"].shape[0]
+    new_state = jax.tree_util.tree_map(lambda v: v, state)  # shallow copy
+    new_state["embed"] = dict(state["embed"], soft_bits=new_bits[:n_embed])
+    new_state["act"] = dict(
+        state["act"], soft_bits=new_bits[n_embed : n_embed + n_act]
+    )
+    new_state["weight"] = dict(state["weight"], soft_bits=new_bits[-1])
+    return new_state, new_best, target

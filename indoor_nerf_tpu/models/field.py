@@ -1,0 +1,327 @@
+"""The radiance field: encoders + MLP + out-of-bbox masking, as one pure query.
+
+Equivalent of the reference's ``run_network`` plumbing plus ``create_nerf``
+model assembly (reference: PocketNeRF/run_nerf.py:53-68, 218-278), redesigned
+so the whole encode→MLP→mask pipeline is a single fixed-shape jitted function
+over ``[R, S, 3]`` sample grids — no python chunking (the reference's
+``batchify``/``netchunk``, run_nerf.py:43-50, is replaced by XLA tiling and,
+for full images, ``lax.map`` over ray tiles in the renderer).
+
+Fixed reference bugs (documented divergences):
+- sigma (channel 3) is zeroed for out-of-bbox points; the reference zeroes
+  the LAST channel (run_nerf.py:66), which is a *normal component* when
+  predict_normals is on.
+- every encoder returns (features, keep_mask) uniformly; the reference's PE
+  path returns a bare tensor and would crash in run_network.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indoor_nerf_tpu.losses.quantization import (
+    QuantConfig,
+    QuantState,
+    calibrate,
+    learned_fake_quant,
+)
+from indoor_nerf_tpu.ops.encoding import (
+    HashGridConfig,
+    hash_grid_indices,
+    init_hash_table,
+    positional_encode,
+    positional_encode_dim,
+    sh_encode,
+    trilinear_interp,
+)
+from indoor_nerf_tpu.models.mlp import (
+    apply_nerf_big,
+    apply_nerf_small,
+    init_nerf_big,
+    init_nerf_small,
+)
+
+Params = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class FieldConfig:
+    """Static model configuration (mirrors create_nerf's choices,
+    reference: run_nerf.py:218-278)."""
+
+    grid: Optional[HashGridConfig] = None
+    i_embed: int = 1  # 1 = hash grid, 0 = positional encoding
+    i_embed_views: int = 2  # 2 = SH degree 4, 0 = positional encoding, -1 = none
+    multires: int = 10
+    multires_views: int = 4
+    use_viewdirs: bool = True
+    predict_normals: bool = False
+    n_importance: int = 0
+    # NeRFSmall (hash path; reference: run_nerf.py:240-247)
+    num_layers: int = 2
+    hidden_dim: int = 64
+    geo_feat_dim: int = 15
+    num_layers_color: int = 3
+    hidden_dim_color: int = 64
+    # big NeRF (PE path; reference: run_nerf.py:249-253)
+    netdepth: int = 8
+    netwidth: int = 256
+    netdepth_fine: int = 8
+    netwidth_fine: int = 256
+    # quantization
+    use_quantization: bool = False
+    quant: QuantConfig = QuantConfig()
+
+    @property
+    def input_ch(self) -> int:
+        if self.i_embed == 1:
+            return self.grid.out_dim
+        return positional_encode_dim(self.multires)
+
+    @property
+    def input_ch_views(self) -> int:
+        if not self.use_viewdirs:
+            return 0
+        if self.i_embed_views == 2:
+            return 16  # SH degree 4
+        return positional_encode_dim(self.multires_views)
+
+
+def field_output_channels(config: FieldConfig) -> int:
+    return 7 if config.predict_normals else 4
+
+
+def init_field_params(key: jax.Array, config: FieldConfig) -> Params:
+    """Init the full field: shared hash table + coarse (+fine) MLP.
+
+    The hash table is SHARED between coarse and fine networks, exactly like
+    the reference's single embed_fn used by both (run_nerf.py:275-278).
+    """
+    k_table, k_coarse, k_fine = jax.random.split(key, 3)
+    params: Params = {}
+    if config.i_embed == 1:
+        params["table"] = init_hash_table(k_table, config.grid)
+        params["coarse"] = init_nerf_small(
+            k_coarse,
+            input_ch=config.input_ch,
+            input_ch_views=config.input_ch_views,
+            num_layers=config.num_layers,
+            hidden_dim=config.hidden_dim,
+            geo_feat_dim=config.geo_feat_dim,
+            num_layers_color=config.num_layers_color,
+            hidden_dim_color=config.hidden_dim_color,
+            predict_normals=config.predict_normals,
+        )
+        if config.n_importance > 0:
+            params["fine"] = init_nerf_small(
+                k_fine,
+                input_ch=config.input_ch,
+                input_ch_views=config.input_ch_views,
+                num_layers=config.num_layers,
+                hidden_dim=config.hidden_dim,
+                geo_feat_dim=config.geo_feat_dim,
+                num_layers_color=config.num_layers_color,
+                hidden_dim_color=config.hidden_dim_color,
+                predict_normals=config.predict_normals,
+            )
+    else:
+        params["coarse"] = init_nerf_big(
+            k_coarse,
+            D=config.netdepth,
+            W=config.netwidth,
+            input_ch=config.input_ch,
+            input_ch_views=config.input_ch_views,
+            output_ch=5 if config.n_importance > 0 else 4,
+            use_viewdirs=config.use_viewdirs,
+        )
+        if config.n_importance > 0:
+            params["fine"] = init_nerf_big(
+                k_fine,
+                D=config.netdepth_fine,
+                W=config.netwidth_fine,
+                input_ch=config.input_ch,
+                input_ch_views=config.input_ch_views,
+                output_ch=5,
+                use_viewdirs=config.use_viewdirs,
+            )
+    return params
+
+
+def _quantize_corner_feats(
+    corner_feats: jnp.ndarray,
+    quant_state: QuantState,
+    config: FieldConfig,
+    train: bool,
+    step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, QuantState]:
+    """Per-level learned fake quantization of gathered corner features.
+
+    Vectorized over all 16 levels at once (the reference loops python-side,
+    hash_encoding.py:97-101). Gated by the warmup schedule
+    (hash_encoding.py:25-26,98): inactive for step < warmup_steps.
+    """
+    qc = config.quant
+    group = quant_state["embed"]
+    active = step >= qc.warmup_steps
+
+    if train:
+        # Lazy one-shot calibration on the first active training batch
+        # (per-level min/max over the [N, 8, F] axes).
+        lvl_min = jnp.min(corner_feats, axis=(0, 2, 3))
+        lvl_max = jnp.max(corner_feats, axis=(0, 2, 3))
+        done = group["calibrated"] | jnp.logical_not(active)
+        new_group = dict(group)
+        new_group["running_min"] = jnp.where(done, group["running_min"], lvl_min)
+        new_group["running_max"] = jnp.where(done, group["running_max"], lvl_max)
+        new_group["range_scale"] = jnp.where(
+            done, group["range_scale"], lvl_max - lvl_min
+        )
+        new_group["v_max"] = jnp.where(done, group["v_max"], lvl_max)
+        new_group["calibrated"] = group["calibrated"] | active
+        group = new_group
+
+    def bc(v):  # [L] -> [1, L, 1, 1]
+        return v[None, :, None, None]
+
+    bits = jnp.clip(group["soft_bits"], qc.min_bits, qc.max_bits)
+    int_bits = jnp.round(bits)
+    qmin = jnp.zeros_like(int_bits)
+    qmax = jnp.exp2(int_bits) - 1.0
+    b = bits if train else int_bits
+    scale = jnp.clip(group["range_scale"], min=1e-8) / (jnp.exp2(b) - 1.0)
+    zero_point = jnp.round(jnp.clip(group["v_max"] / scale, qmin, qmax))
+
+    x_scaled = corner_feats / bc(scale + 1e-8)
+    x_quant = jnp.clip(jnp.round(x_scaled + bc(zero_point)), bc(qmin), bc(qmax))
+    x_dequant = (x_quant - bc(zero_point)) * bc(scale)
+    if train:
+        q = corner_feats + jax.lax.stop_gradient(x_dequant - corner_feats)
+    else:
+        q = x_dequant
+
+    out = jnp.where(active, q, corner_feats)
+    new_state = dict(quant_state)
+    new_state["embed"] = group
+    return out, new_state
+
+
+def encode_position(
+    x: jnp.ndarray,
+    params: Params,
+    config: FieldConfig,
+    quant_state: Optional[QuantState] = None,
+    train: bool = True,
+    step: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[QuantState]]:
+    """Encode flat ``[N, 3]`` positions. Returns (feats, keep_mask, quant_state)."""
+    if config.i_embed == 1:
+        flat_idx, weights, keep = hash_grid_indices(x, config.grid)
+        corner_feats = jnp.take(params["table"], flat_idx, axis=0)  # [N, L, 8, F]
+        if config.use_quantization and quant_state is not None:
+            corner_feats, quant_state = _quantize_corner_feats(
+                corner_feats, quant_state, config, train, step
+            )
+        feats = trilinear_interp(corner_feats, weights)
+        return feats.reshape(x.shape[0], config.grid.out_dim), keep, quant_state
+    feats = positional_encode(x, config.multires)
+    return feats, jnp.ones(x.shape[0], jnp.bool_), quant_state
+
+
+def encode_views(dirs: jnp.ndarray, config: FieldConfig) -> jnp.ndarray:
+    if config.i_embed_views == 2:
+        return sh_encode(dirs, degree=4)
+    return positional_encode(dirs, config.multires_views)
+
+
+def query_field(
+    params: Params,
+    mlp_name: str,
+    pts: jnp.ndarray,
+    viewdirs: Optional[jnp.ndarray],
+    config: FieldConfig,
+    quant_state: Optional[QuantState] = None,
+    train: bool = True,
+    step: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, Optional[QuantState]]:
+    """Query the radiance field on a ``[R, S, 3]`` sample grid.
+
+    Args:
+      mlp_name: "coarse" or "fine".
+      viewdirs: ``[R, 3]`` unit view directions (broadcast over samples,
+        reference: run_nerf.py:59-62) or None.
+
+    Returns (raw ``[R, S, C]``, updated quant_state).
+    """
+    r, s, _ = pts.shape
+    flat = pts.reshape(-1, 3)
+    feats, keep, quant_state = encode_position(
+        flat, params, config, quant_state, train, step
+    )
+
+    view_feats = None
+    if config.use_viewdirs and viewdirs is not None:
+        dirs = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
+        view_feats = encode_views(dirs, config)
+
+    if config.i_embed == 1:
+        weight_quant = None
+        act_quants = None
+        if config.use_quantization and quant_state is not None:
+            qc = config.quant
+            if train:
+                # Lazy calibration of MLP quantizers (first training batch).
+                mlp = params[mlp_name]
+                quant_state = dict(quant_state)
+                quant_state["weight"] = calibrate(
+                    quant_state["weight"], mlp["sigma_net"][0]["w"], symmetric=True
+                )
+            wq_state = quant_state
+
+            def weight_quant(w):
+                return learned_fake_quant(
+                    w, wq_state["weight"], qc, symmetric=True, train=train
+                )
+
+            def make_act_quant(i):
+                def act_quant(h):
+                    st = wq_state["act"]
+                    if train:
+                        new = calibrate(
+                            jax.tree_util.tree_map(lambda v: v[i], st),
+                            h,
+                            symmetric=False,
+                        )
+                        # fold per-call calibration back into the state
+                        for k in new:
+                            st[k] = st[k].at[i].set(new[k])
+                    return learned_fake_quant(
+                        h, st, qc, symmetric=False, train=train, idx=i
+                    )
+
+                return act_quant
+
+            quant_state["act"] = dict(quant_state["act"])
+            act_quants = [make_act_quant(i) for i in range(qc.n_act_quantizers)]
+
+        raw = apply_nerf_small(
+            params[mlp_name],
+            feats,
+            view_feats,
+            predict_normals=config.predict_normals,
+            weight_quant=weight_quant,
+            act_quants=act_quants,
+        )
+    else:
+        raw = apply_nerf_big(
+            params[mlp_name], feats, view_feats, use_viewdirs=config.use_viewdirs
+        )
+
+    # Zero sigma for out-of-bbox points (reference: run_nerf.py:66; fixed to
+    # target the sigma channel, not the last channel).
+    sigma = jnp.where(keep, raw[..., 3], 0.0)
+    raw = jnp.concatenate([raw[..., :3], sigma[..., None], raw[..., 4:]], axis=-1)
+    return raw.reshape(r, s, -1), quant_state

@@ -1,0 +1,103 @@
+"""Volume rendering: alpha compositing of raw network outputs.
+
+TPU-native equivalent of ``raw2outputs``
+(reference: PocketNeRF/run_nerf.py:347-411). Pure function of fixed-shape
+arrays; the transmittance prefix-product is an associative scan that XLA
+fuses with the surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def raw2outputs(
+    raw: jnp.ndarray,
+    z_vals: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    raw_noise_std: float = 0.0,
+    white_bkgd: bool = False,
+    noise_key: Optional[jax.Array] = None,
+    predict_normals: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Composite raw (rgb, sigma[, normal]) samples into per-ray maps.
+
+    Args:
+      raw: ``[N, S, 4]`` or ``[N, S, 7]`` (rgb, sigma[, normal]) predictions.
+      z_vals: ``[N, S]`` sample depths.
+      rays_d: ``[N, 3]`` ray directions (not necessarily unit norm).
+      raw_noise_std: std of Gaussian noise added to sigma before activation.
+      white_bkgd: composite onto a white background.
+      noise_key: PRNG key for the sigma noise (required if raw_noise_std > 0).
+      predict_normals: whether raw carries 3 extra normal channels.
+
+    Returns a dict with rgb_map [N,3], disp_map [N], acc_map [N],
+    weights [N,S], depth_map [N], sparsity_loss [N] and (optionally)
+    normal_map [N,3].
+
+    Matches the reference formulas exactly (run_nerf.py:347-411) except the
+    depth normalization: the reference computes sum(w*z)/sum(w) which NaNs on
+    fully transparent rays; here the denominator is clamped to 1e-10
+    (documented divergence — only changes rays with identically zero weight).
+    """
+    dists = z_vals[..., 1:] - z_vals[..., :-1]
+    dists = jnp.concatenate(
+        [dists, jnp.full_like(dists[..., :1], 1e10)], axis=-1
+    )  # [N, S]
+    dists = dists * jnp.linalg.norm(rays_d[..., None, :], axis=-1)
+
+    rgb = jax.nn.sigmoid(raw[..., :3])  # [N, S, 3]
+    sigma = raw[..., 3]  # [N, S]
+
+    if raw_noise_std > 0.0:
+        noise = jax.random.normal(noise_key, sigma.shape) * raw_noise_std
+        sigma = sigma + noise
+
+    # alpha = 1 - exp(-relu(sigma) * dist)   (reference: run_nerf.py:362,388)
+    alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+
+    # Exclusive prefix product of transmittance (reference: run_nerf.py:390).
+    trans = jnp.cumprod(
+        jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), 1.0 - alpha + 1e-10], axis=-1
+        ),
+        axis=-1,
+    )[..., :-1]
+    weights = alpha * trans  # [N, S]
+
+    rgb_map = jnp.sum(weights[..., None] * rgb, axis=-2)  # [N, 3]
+    acc_map = jnp.sum(weights, axis=-1)
+    depth_map = jnp.sum(weights * z_vals, axis=-1) / jnp.maximum(acc_map, 1e-10)
+    disp_map = 1.0 / jnp.maximum(1e-10 * jnp.ones_like(depth_map), depth_map)
+
+    if white_bkgd:
+        rgb_map = rgb_map + (1.0 - acc_map[..., None])
+
+    # Entropy of the per-ray weight distribution (categorical over S+1 states
+    # with a residual "background" state), used as the live sparsity loss
+    # (reference: run_nerf.py:401-403). torch Categorical normalizes probs.
+    probs = jnp.concatenate(
+        [weights, jnp.clip(1.0 - acc_map[..., None], min=1e-6)], axis=-1
+    )
+    probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
+    sparsity_loss = -jnp.sum(
+        probs * jnp.log(jnp.clip(probs, min=1e-30)), axis=-1
+    )  # [N]
+
+    out = {
+        "rgb_map": rgb_map,
+        "disp_map": disp_map,
+        "acc_map": acc_map,
+        "weights": weights,
+        "depth_map": depth_map,
+        "sparsity_loss": sparsity_loss,
+    }
+    if predict_normals:
+        normals = raw[..., 4:7]  # [N, S, 3]
+        normal_map = jnp.sum(weights[..., None] * normals, axis=-2)
+        norm = jnp.linalg.norm(normal_map, axis=-1, keepdims=True)
+        out["normal_map"] = normal_map / jnp.maximum(norm, 1e-12)
+    return out

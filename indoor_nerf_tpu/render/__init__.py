@@ -1,0 +1,8 @@
+"""Rendering pipeline: jitted ray rendering and full-image tiling."""
+
+from indoor_nerf_tpu.render.renderer import (
+    RenderConfig,
+    render_rays,
+    render_image,
+    make_image_renderer,
+)

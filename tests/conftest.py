@@ -1,0 +1,23 @@
+"""Test configuration: run everything on a virtual 8-device CPU platform.
+
+Multi-chip sharding is validated without a TPU pod by forcing the XLA host
+platform to expose 8 devices ("multi-node without a cluster", SURVEY.md §4).
+Must run before jax initializes, hence the env mutation at import time.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,114 @@
+"""Tests for the MLPs and the field query."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indoor_nerf_tpu.models.field import (
+    FieldConfig,
+    field_output_channels,
+    init_field_params,
+    query_field,
+)
+from indoor_nerf_tpu.models.mlp import (
+    apply_nerf_big,
+    apply_nerf_small,
+    init_nerf_big,
+    init_nerf_small,
+)
+from indoor_nerf_tpu.ops.encoding import HashGridConfig
+
+GRID = HashGridConfig(
+    bbox_min=(-2.0, -2.0, -2.0),
+    bbox_max=(2.0, 2.0, 2.0),
+    n_levels=8,
+    log2_hashmap_size=12,
+    base_resolution=16,
+    finest_resolution=128,
+)
+
+
+def _field_cfg(**kw):
+    return FieldConfig(grid=GRID, n_importance=kw.pop("n_importance", 0), **kw)
+
+
+def test_nerf_small_shapes():
+    key = jax.random.PRNGKey(0)
+    p = init_nerf_small(key, input_ch=16, input_ch_views=16)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (32, 16))
+    out = apply_nerf_small(p, x, v)
+    assert out.shape == (32, 4)
+
+
+def test_nerf_small_param_structure():
+    p = init_nerf_small(
+        jax.random.PRNGKey(0), input_ch=32, input_ch_views=16,
+        num_layers=2, hidden_dim=64, geo_feat_dim=15,
+        num_layers_color=3, hidden_dim_color=64,
+    )
+    # sigma net: 32->64 (no bias), 64->16 (1 sigma + 15 geo)
+    assert p["sigma_net"][0]["w"].shape == (32, 64)
+    assert "b" not in p["sigma_net"][0]
+    assert p["sigma_net"][1]["w"].shape == (64, 16)
+    # color net: (16+15)->64, 64->64, 64->3
+    assert p["color_net"][0]["w"].shape == (31, 64)
+    assert p["color_net"][2]["w"].shape == (64, 3)
+    # torch-default init bound: 1/sqrt(fan_in)
+    assert float(jnp.max(jnp.abs(p["sigma_net"][0]["w"]))) <= 1.0 / np.sqrt(32)
+
+
+def test_nerf_small_normals_unit_length():
+    p = init_nerf_small(
+        jax.random.PRNGKey(0), input_ch=16, input_ch_views=16, predict_normals=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+    v = jax.random.normal(jax.random.PRNGKey(2), (8, 16))
+    out = apply_nerf_small(p, x, v, predict_normals=True)
+    assert out.shape == (8, 7)
+    norms = jnp.linalg.norm(out[:, 4:7], axis=-1)
+    np.testing.assert_allclose(np.asarray(norms), 1.0, rtol=1e-4)
+
+
+def test_nerf_big_shapes():
+    p = init_nerf_big(
+        jax.random.PRNGKey(0), input_ch=63, input_ch_views=27, use_viewdirs=True
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (16, 63))
+    v = jax.random.normal(jax.random.PRNGKey(2), (16, 27))
+    out = apply_nerf_big(p, x, v, use_viewdirs=True)
+    assert out.shape == (16, 4)
+    # skip connection: layer 5 input is W + input_ch
+    assert p["pts_linears"][5]["w"].shape == (256 + 63, 256)
+
+
+def test_query_field_shapes_and_bbox_masking():
+    cfg = _field_cfg()
+    params = init_field_params(jax.random.PRNGKey(0), cfg)
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 3), minval=-1, maxval=1)
+    # put one whole ray outside the bbox
+    pts = pts.at[2].set(pts[2] + 10.0)
+    vd = jax.random.normal(jax.random.PRNGKey(2), (4, 3))
+    vd = vd / jnp.linalg.norm(vd, axis=-1, keepdims=True)
+    raw, _ = query_field(params, "coarse", pts, vd, cfg)
+    assert raw.shape == (4, 8, field_output_channels(cfg))
+    # sigma of out-of-bbox points is exactly zero
+    np.testing.assert_array_equal(np.asarray(raw[2, :, 3]), 0.0)
+    # in-bbox sigma generally nonzero
+    assert float(jnp.max(jnp.abs(raw[0, :, 3]))) > 0.0
+
+
+def test_query_field_jits():
+    cfg = _field_cfg()
+    params = init_field_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def f(params, pts, vd):
+        raw, _ = query_field(params, "coarse", pts, vd, cfg)
+        return raw
+
+    pts = jax.random.uniform(jax.random.PRNGKey(1), (4, 8, 3), minval=-1, maxval=1)
+    vd = jnp.ones((4, 3)) / np.sqrt(3)
+    out = f(params, pts, vd)
+    assert out.shape == (4, 8, 4)
+    assert np.all(np.isfinite(np.asarray(out)))
