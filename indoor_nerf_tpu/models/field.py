@@ -305,7 +305,7 @@ def query_field(
                 return act_quant
 
             quant_state["act"] = dict(quant_state["act"])
-            act_quants = [make_act_quant(i) for i in range(qc.n_act_quantizers)]
+            act_quants = [make_act_quant(i) for i in range(config.num_layers - 1)]
 
         raw = apply_nerf_small(
             params[mlp_name],

@@ -98,6 +98,13 @@ def raw2outputs(
     if predict_normals:
         normals = raw[..., 4:7]  # [N, S, 3]
         normal_map = jnp.sum(weights[..., None] * normals, axis=-2)
-        norm = jnp.linalg.norm(normal_map, axis=-1, keepdims=True)
-        out["normal_map"] = normal_map / jnp.maximum(norm, 1e-12)
+        # Soft normalization (divergence from the reference's hard
+        # F.normalize, run_nerf.py:408): sqrt(|x|^2 + eps^2) bounds the
+        # jacobian on empty rays (|x| -> 0 blows up 1/|x| and NaNs training
+        # when priors activate before geometry exists) AND gives unstable
+        # normals sub-unit magnitude, making the priors' stability mask
+        # |n| > 0.1 and norm-based confidences meaningful — in the reference
+        # they are vacuous because normal_map always has unit length.
+        sq = jnp.sum(normal_map * normal_map, axis=-1, keepdims=True)
+        out["normal_map"] = normal_map * jax.lax.rsqrt(sq + 1e-6)
     return out

@@ -1,0 +1,77 @@
+"""Data-parallel training over a jax.sharding.Mesh.
+
+The reference is strictly single-device (SURVEY.md §2: no torch.distributed /
+NCCL anywhere); this module adds the TPU-native scaling path the north star
+demands: the ray batch is sharded across the mesh's 'data' axis, params and
+optimizer state are replicated, and the loss mean / parameter gradients are
+reduced by XLA-inserted collectives over ICI (the all-reduce of dense
+hash-table gradients that NCCL would do on GPU is implicit in pjit).
+
+One jitted global-view step == the single-device step numerically: losses are
+global-batch means, so an N-chip run with N*n_rand rays is exactly the
+reference semantics with a bigger batch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from indoor_nerf_tpu.train.step import TrainConfig, train_step
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None,
+    axis_names: Tuple[str, ...] = ("data",),
+    axis_sizes: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """Build a device mesh. Default: all devices on one 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    if axis_sizes is None:
+        axis_sizes = (n,) + (1,) * (len(axis_names) - 1)
+    if int(np.prod(axis_sizes)) != n:
+        raise ValueError(f"axis_sizes {axis_sizes} != {n} devices")
+    dev_array = np.asarray(devices).reshape(axis_sizes)
+    return Mesh(dev_array, axis_names)
+
+
+def replicate_state(state: Any, mesh: Mesh) -> Any:
+    """Place a train-state pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(state, sharding)
+
+
+def make_sharded_train_step(
+    config: TrainConfig, mesh: Mesh, data_axis: str = "data", donate: bool = True
+):
+    """Jit the train step with DP shardings.
+
+    Batch arrays are sharded on their leading (ray) axis over ``data_axis``;
+    state and rng are replicated. The returned function has the same
+    signature as train_step minus config: (state, batch, key[, prior_weights])
+    -> (state, metrics).
+    """
+    repl = NamedSharding(mesh, P())
+    batch_sh = NamedSharding(mesh, P(data_axis))
+
+    def step(state, batch, key, prior_weights):
+        return train_step(state, batch, key, config, prior_weights)
+
+    jit_kwargs: Dict[str, Any] = dict(
+        in_shardings=(repl, batch_sh, repl, repl),
+        out_shardings=(repl, repl),
+    )
+    if donate:
+        jit_kwargs["donate_argnums"] = (0,)
+    jitted = jax.jit(step, **jit_kwargs)
+
+    def run(state, batch, key, prior_weights=None):
+        return jitted(state, batch, key, prior_weights)
+
+    return run

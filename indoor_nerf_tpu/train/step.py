@@ -1,0 +1,255 @@
+"""The jitted training step: render → loss assembly → RAdam update.
+
+TPU-native equivalent of the reference hot loop body
+(reference: PocketNeRF/run_nerf.py:1006-1293) as ONE pure function:
+
+    (state, batch, key, prior_weights) -> (state', metrics)
+
+Everything "adaptive" in the reference loop — LR decay, the TV-loss cutoff at
+iter 1000, the structural-prior activation/ramp, the A-CAQ controller every
+10 iters, quantizer calibration and warmup — is a pure function of the step
+counter inside the jit (lax.cond / where), so the step compiles once and the
+host never blocks on scalars. The only host-side knobs are the structural
+prior base weights (the overfitting detector decays them between steps,
+reference: run_nerf.py:1073-1094), passed in as traced scalars.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from indoor_nerf_tpu.losses.priors import PriorConfig, combine_structural_losses
+from indoor_nerf_tpu.losses.quantization import (
+    acaq_controller_update,
+    init_quant_state,
+)
+from indoor_nerf_tpu.models.field import init_field_params
+from indoor_nerf_tpu.ops.tv import total_variation_loss
+from indoor_nerf_tpu.render.renderer import RenderConfig, render_rays
+from indoor_nerf_tpu.train.optim import (
+    exp_decay_lr,
+    init_radam_state,
+    pocketnerf_hyper_fn,
+    radam_update,
+)
+
+TrainState = Dict[str, Any]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Static training configuration (reference flags: run_nerf.py:552-715)."""
+
+    render: RenderConfig
+    near: float = 2.0
+    far: float = 6.0
+    n_rand: int = 1024
+    lrate: float = 0.01
+    lrate_decay: int = 250  # in thousands of steps
+    sparse_loss_weight: float = 1e-10
+    tv_loss_weight: float = 1e-6
+    tv_cutoff_iter: int = 1000  # TV hard-disabled after this (run_nerf.py:1036-1037)
+    use_structural_priors: bool = False
+    structural_loss_start_iter: int = 2000
+    structural_loss_ramp_iters: int = 1000
+    use_acaq: bool = False
+    acaq_start_iter: int = 1000
+    acaq_interval: int = 10
+    priors: PriorConfig = PriorConfig()
+
+
+def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
+    """Fresh train state: params + RAdam moments + quant state + counters."""
+    params = init_field_params(key, config.render.field)
+    state: TrainState = {
+        "params": params,
+        "opt": init_radam_state(params),
+        "step": jnp.zeros((), jnp.int32),
+        "best_loss": jnp.asarray(jnp.inf, jnp.float32),
+    }
+    fc = config.render.field
+    if fc.use_quantization:
+        # Quantizer counts follow the model geometry: one per hash level and
+        # one per hidden sigma activation (reference: hash_encoding.py:45-51,
+        # run_nerf_helpers.py:220-226).
+        qc = dataclasses.replace(
+            fc.quant,
+            n_embed_levels=fc.grid.n_levels,
+            n_act_quantizers=fc.num_layers - 1,
+        )
+        state["quant"] = init_quant_state(qc)
+    else:
+        state["quant"] = None
+    return state
+
+
+def default_prior_weights(args_like=None) -> Dict[str, float]:
+    """Reference CLI defaults (run_nerf.py:688-695). 'depth_prior' is carried
+    for parity but — exactly like the reference — consumed by no loss term
+    (combine_structural_losses_v2 only reads manhattan/planarity/
+    normal_consistency, structural_priors.py:381-386,420-441)."""
+    return {
+        "depth_prior": 0.01,
+        "planarity": 0.005,
+        "manhattan": 0.002,
+        "normal_consistency": 0.001,
+    }
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, jnp.ndarray],
+    key: jax.Array,
+    config: TrainConfig,
+    prior_weights: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+    """One optimization step over a ``[n_rand]`` ray batch.
+
+    Args:
+      batch: {'rays_o' [N,3], 'rays_d' [N,3], 'target' [N,3],
+              optional 'spatial_coords' [N,2]} — the sampled pixel coords in
+              no-batching mode feed the spatial consistency prior
+              (reference: run_nerf.py:1113-1117).
+      prior_weights: traced scalars for the 4 structural weights (base values
+        after any host-side overfitting decay); ramping happens here.
+
+    Returns (new_state, metrics{loss, img_loss, psnr, lr, ...}).
+    """
+    rc = config.render
+    fc = rc.field
+    step = state["step"]
+    k_render, k_tv, k_priors = jax.random.split(key, 3)
+
+    rays_o = batch["rays_o"]
+    rays_d = batch["rays_d"]
+    target = batch["target"]
+    spatial_coords = batch.get("spatial_coords")
+
+    viewdirs = None
+    if fc.use_viewdirs:
+        viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = config.near * jnp.ones_like(rays_d[..., :1])
+    far = config.far * jnp.ones_like(rays_d[..., :1])
+
+    def loss_fn(params, quant_state):
+        out, new_quant = render_rays(
+            k_render, params, rays_o, rays_d, viewdirs, near, far, rc,
+            quant_state=quant_state, train=True, step=step,
+        )
+        img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
+        loss = img_loss
+        if rc.n_importance > 0:
+            img_loss0 = jnp.mean((out["rgb0"] - target) ** 2)
+            loss = loss + img_loss0
+        else:
+            img_loss0 = jnp.zeros(())
+
+        # Entropy sparsity loss (reference: run_nerf.py:1022-1023).
+        sparsity = jnp.sum(out["sparsity_loss"])
+        if rc.n_importance > 0:
+            sparsity = sparsity + jnp.sum(out["sparsity_loss0"])
+        loss = loss + config.sparse_loss_weight * sparsity
+
+        # TV loss on the hash table, hard-disabled after tv_cutoff_iter
+        # (reference: run_nerf.py:1026-1037).
+        if fc.i_embed == 1 and config.tv_loss_weight > 0:
+            tv = jax.lax.cond(
+                step <= config.tv_cutoff_iter,
+                lambda: total_variation_loss(k_tv, params["table"], fc.grid),
+                lambda: jnp.zeros(()),
+            )
+            loss = loss + config.tv_loss_weight * tv
+
+        # Structural priors with activation + linear ramp
+        # (reference: run_nerf.py:1043-1148).
+        diag = {}
+        if config.use_structural_priors and fc.predict_normals:
+            start_it = config.structural_loss_start_iter
+            ramp = jnp.clip(
+                (step - start_it) / config.structural_loss_ramp_iters, 0.0, 1.0
+            )
+            ramp_factor = 0.1 + 0.9 * ramp
+            pw = prior_weights or jax.tree_util.tree_map(
+                jnp.asarray, default_prior_weights()
+            )
+            weights = {
+                k: jnp.asarray(pw[k], jnp.float32) * ramp_factor
+                for k in ("manhattan", "planarity", "normal_consistency")
+            }
+
+            def compute_priors():
+                return combine_structural_losses(
+                    k_priors, out["depth_map"], out["normal_map"],
+                    spatial_coords, weights, config.priors,
+                )
+
+            def zero_priors():
+                z = jnp.zeros(())
+                return z, {
+                    "manhattan": z, "planarity": z, "normal_consistency": z,
+                    "semantic_floor_count": jnp.zeros((), jnp.int32),
+                    "semantic_wall_count": jnp.zeros((), jnp.int32),
+                }
+
+            structural, diag = jax.lax.cond(
+                step >= start_it, compute_priors, zero_priors
+            )
+            loss = loss + structural
+            diag = {f"structural_{k}": v for k, v in diag.items()}
+
+        aux = {
+            "img_loss": img_loss,
+            "img_loss0": img_loss0,
+            "quant": new_quant,
+            **diag,
+        }
+        return loss, aux
+
+    (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        state["params"], state["quant"]
+    )
+
+    lr = exp_decay_lr(config.lrate, config.lrate_decay, state["opt"]["step"])
+    new_params, new_opt = radam_update(
+        grads, state["opt"], state["params"], lr, pocketnerf_hyper_fn
+    )
+
+    new_quant = aux["quant"]
+    new_best = state["best_loss"]
+    if config.use_acaq and fc.use_quantization:
+        def run_controller(q, b):
+            new_q, nb, _ = acaq_controller_update(
+                q, aux["img_loss"], b, fc.quant
+            )
+            return new_q, nb
+
+        active = (step >= config.acaq_start_iter) & (
+            step % config.acaq_interval == 0
+        )
+        new_quant, new_best = jax.lax.cond(
+            active, run_controller, lambda q, b: (q, b), new_quant, new_best
+        )
+
+    new_state: TrainState = {
+        "params": new_params,
+        "opt": new_opt,
+        "quant": new_quant,
+        "step": step + 1,
+        "best_loss": jnp.minimum(new_best, aux["img_loss"]),
+    }
+
+    psnr = -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0)
+    metrics = {
+        "loss": loss,
+        "img_loss": aux["img_loss"],
+        "psnr": psnr,
+        "lr": lr,
+    }
+    for k, v in aux.items():
+        if k.startswith("structural_"):
+            metrics[k] = v
+    return new_state, metrics
