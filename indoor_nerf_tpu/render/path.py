@@ -1,0 +1,113 @@
+"""Eval/video rendering over a pose path, with the reference's artifacts.
+
+Equivalent of render_path (reference: PocketNeRF/run_nerf.py:154-215): per
+view a matplotlib side-by-side rgb + plasma-depth PNG, per-image PSNR vs GT,
+and a ``test_psnrs_avg{XX.XX}.pkl`` dump. The per-image render itself is the
+lax.map-tiled jitted full-image renderer (renderer.py) — compiled once for
+the whole path, not re-chunked in python per 32k rays.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from indoor_nerf_tpu.render.renderer import RenderConfig, make_image_renderer
+
+
+def to8b(x: np.ndarray) -> np.ndarray:
+    """(reference: run_nerf_helpers.py:13)"""
+    return (255 * np.clip(x, 0, 1)).astype(np.uint8)
+
+
+def render_path(
+    render_poses: np.ndarray,
+    hwf,
+    K: np.ndarray,
+    config: RenderConfig,
+    params,
+    near: float,
+    far: float,
+    gt_imgs: Optional[np.ndarray] = None,
+    savedir: Optional[str] = None,
+    render_factor: int = 0,
+    quant_state=None,
+    tile_rays: int = 16384,
+    save_figures: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, List[float]]:
+    """Render every pose; returns (rgbs, depths_normalized, psnrs)."""
+    H, W, focal = hwf
+    if render_factor != 0:
+        H = H // render_factor
+        W = W // render_factor
+        focal = focal / render_factor
+        K = np.array(
+            [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float64
+        )
+
+    renderer = make_image_renderer(config, int(H), int(W), tile_rays)
+
+    rgbs, depths, psnrs = [], [], []
+    t = time.time()
+    for i, c2w in enumerate(render_poses):
+        print(i, time.time() - t)
+        t = time.time()
+        out = renderer(params, np.asarray(c2w[:3, :4]), K, near, far, quant_state)
+        rgb = np.asarray(out["rgb_map"])
+        depth = (np.asarray(out["depth_map"]) - near) / (far - near)
+        rgbs.append(rgb)
+        depths.append(depth)
+
+        if gt_imgs is not None and render_factor == 0:
+            gt = np.asarray(gt_imgs[i])
+            p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
+            print(p)
+            psnrs.append(float(p))
+
+        if savedir is not None and save_figures:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig = plt.figure(figsize=(25, 15))
+            ax = fig.add_subplot(1, 2, 1)
+            ax.imshow(to8b(rgbs[-1]))
+            ax.axis("off")
+            ax = fig.add_subplot(1, 2, 2)
+            ax.imshow(depths[-1], cmap="plasma", vmin=0, vmax=1)
+            ax.axis("off")
+            filename = os.path.join(savedir, "{:03d}.png".format(i))
+            plt.savefig(filename, bbox_inches="tight", pad_inches=0)
+            plt.close(fig)
+
+    rgbs = np.stack(rgbs, 0)
+    depths = np.stack(depths, 0)
+
+    if gt_imgs is not None and render_factor == 0 and psnrs and savedir:
+        avg_psnr = sum(psnrs) / len(psnrs)
+        print("Avg PSNR over Test set: ", avg_psnr)
+        with open(
+            os.path.join(savedir, "test_psnrs_avg{:0.2f}.pkl".format(avg_psnr)),
+            "wb",
+        ) as fp:
+            pickle.dump(psnrs, fp)
+
+    return rgbs, depths, psnrs
+
+
+def write_video(path: str, frames: np.ndarray, fps: int = 30, quality: int = 8):
+    """mp4 writer (reference: run_nerf.py:1376-1377) with a GIF fallback when
+    no ffmpeg backend is installed (the artifact still lands next to where
+    the reference's mp4 would)."""
+    import imageio
+
+    try:
+        imageio.mimwrite(path, to8b(frames), fps=fps, quality=quality)
+    except Exception as e:  # no ffmpeg/pyav backend
+        gif_path = os.path.splitext(path)[0] + ".gif"
+        print(f"[video] mp4 backend unavailable ({e}); writing {gif_path}")
+        imageio.mimwrite(gif_path, to8b(frames), duration=1000.0 / fps, loop=0)

@@ -1,0 +1,155 @@
+"""CLI / config-file parsing, compatible with the reference's configargparse
+setup (reference: PocketNeRF/run_nerf.py:552-715).
+
+configargparse is not a baked-in dependency, so the ``key = value`` config
+format the reference's 21 ``configs/*.txt`` files use is parsed here
+directly: file values become defaults, CLI flags override them — the same
+precedence configargparse implements.
+"""
+
+from __future__ import annotations
+
+import argparse
+from typing import List, Optional, Sequence
+
+
+def _read_config_file(path: str) -> dict:
+    """Parse a configargparse-style txt file: `key = value` lines, `#`
+    comments. Returns {dest: string_value}."""
+    values = {}
+    with open(path) as f:
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if not line:
+                continue
+            if "=" not in line:
+                raise ValueError(f"bad config line: {line!r}")
+            key, val = line.split("=", 1)
+            values[key.strip()] = val.strip()
+    return values
+
+
+def build_parser() -> argparse.ArgumentParser:
+    """All reference flags (run_nerf.py:556-714), same names and defaults."""
+    parser = argparse.ArgumentParser()
+    add = parser.add_argument
+    add("--config", type=str, default=None, help="config file path")
+    add("--expname", type=str, help="experiment name")
+    add("--basedir", type=str, default="./logs/", help="where to store ckpts and logs")
+    add("--datadir", type=str, default="./data/llff/fern", help="input data directory")
+
+    # training options
+    add("--netdepth", type=int, default=8)
+    add("--netwidth", type=int, default=256)
+    add("--netdepth_fine", type=int, default=8)
+    add("--netwidth_fine", type=int, default=256)
+    add("--N_rand", type=int, default=32 * 32 * 4)
+    add("--lrate", type=float, default=5e-4)
+    add("--lrate_decay", type=int, default=250)
+    add("--chunk", type=int, default=1024 * 32)
+    add("--netchunk", type=int, default=1024 * 64)
+    add("--no_batching", action="store_true")
+    add("--no_reload", action="store_true")
+    add("--ft_path", type=str, default=None)
+
+    # rendering options
+    add("--N_samples", type=int, default=64)
+    add("--N_importance", type=int, default=0)
+    add("--perturb", type=float, default=1.0)
+    add("--use_viewdirs", action="store_true")
+    add("--i_embed", type=int, default=1)
+    add("--i_embed_views", type=int, default=2)
+    add("--multires", type=int, default=10)
+    add("--multires_views", type=int, default=4)
+    add("--raw_noise_std", type=float, default=0.0)
+    add("--render_only", action="store_true")
+    add("--render_test", action="store_true")
+    add("--render_factor", type=int, default=0)
+
+    # precrop
+    add("--precrop_iters", type=int, default=0)
+    add("--precrop_frac", type=float, default=0.5)
+
+    # dataset options
+    add("--dataset_type", type=str, default="llff")
+    add("--testskip", type=int, default=8)
+    add("--shape", type=str, default="greek")  # deepvoxels
+    add("--white_bkgd", action="store_true")
+    add("--half_res", action="store_true")
+    add("--scannet_sceneID", type=str, default="scene0000_00")
+    add("--factor", type=int, default=8)  # llff
+    add("--no_ndc", action="store_true")
+    add("--lindisp", action="store_true")
+    add("--spherify", action="store_true")
+    add("--llffhold", type=int, default=8)
+
+    # logging/saving
+    add("--i_print", type=int, default=100)
+    add("--i_img", type=int, default=500)
+    add("--i_weights", type=int, default=10000)
+    add("--i_testset", type=int, default=1000)
+    add("--i_video", type=int, default=5000)
+
+    # hash encoding
+    add("--finest_res", type=int, default=512)
+    add("--log2_hashmap_size", type=int, default=19)
+    add("--sparse-loss-weight", type=float, default=1e-10, dest="sparse_loss_weight")
+    add("--tv-loss-weight", type=float, default=1e-6, dest="tv_loss_weight")
+
+    # quantization
+    add("--use_quantization", action="store_true")
+    add("--quantization_bits", type=int, default=8)
+
+    # structural priors
+    add("--use_structural_priors", action="store_true")
+    add("--predict_normals", action="store_true")
+    add("--depth_prior_weight", type=float, default=0.01)
+    add("--planarity_weight", type=float, default=0.005)
+    add("--manhattan_weight", type=float, default=0.002)
+    add("--normal_consistency_weight", type=float, default=0.001)
+    add("--structural_loss_start_iter", type=int, default=2000)
+    add("--structural_loss_ramp_iters", type=int, default=1000)
+    add("--overfitting_threshold", type=float, default=8.0)
+    add("--min_structural_weight", type=float, default=0.0001)
+
+    # A-CAQ
+    add("--use_acaq", action="store_true")
+    add("--target_metric", type=float, default=None)
+    add("--bit_penalty", type=float, default=1e-3)
+    add("--acaq_start_iter", type=int, default=1000)
+
+    # TPU-framework extensions (not in the reference)
+    add("--n_iters", type=int, default=8000,
+        help="training iterations (reference hard-codes 8000, run_nerf.py:923)")
+    add("--mesh_shape", type=str, default=None,
+        help="device mesh as 'data' or 'data:4,model:2'; default = all chips on data")
+    add("--seed", type=int, default=0, help="global PRNG seed")
+    add("--precision", type=str, default="f32", choices=["f32", "bf16"],
+        help="activation precision on TPU")
+    add("--use_pallas", action="store_true",
+        help="use the fused Pallas hash-encode kernel where available")
+    return parser
+
+
+def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
+    """configargparse semantics: config file sets defaults, CLI overrides."""
+    parser = build_parser()
+    args, _ = parser.parse_known_args(argv)
+    if args.config:
+        file_values = _read_config_file(args.config)
+        # Map file keys to parser actions; booleans in the file are words.
+        str2bool = {"true": True, "false": False}
+        defaults = {}
+        for action in parser._actions:
+            for key in (action.dest, *(o.lstrip("-") for o in action.option_strings)):
+                if key in file_values:
+                    raw = file_values[key]
+                    if isinstance(action, argparse._StoreTrueAction):
+                        defaults[action.dest] = str2bool.get(raw.lower(), bool(raw))
+                    elif action.type is not None:
+                        defaults[action.dest] = action.type(raw)
+                    else:
+                        defaults[action.dest] = raw
+                    break
+        parser.set_defaults(**defaults)
+    return parser.parse_args(argv)

@@ -1,0 +1,475 @@
+"""The training driver: reference train() semantics on the TPU-native core.
+
+Equivalent of PocketNeRF/run_nerf.py:718-1483 — dataset dispatch, expname
+mangling, logdir artifacts (args.txt/config.txt), metrics logging, periodic
+checkpoints/videos/testsets, PSNR milestone + convergence tracking, the
+host-side overfitting detector for structural priors, and render-only mode —
+driving the single jitted, mesh-sharded train step.
+
+Performance notes vs the reference loop:
+- metric fetches are DEFERRED one step: the host processes step i-1's
+  scalars while the device runs step i, so logging never stalls the chip
+  (the reference blocks on .item() every iteration, run_nerf.py:1173-1179);
+- all "adaptive" schedules live inside the jitted step; the only host->step
+  feedback is the structural-prior weight dict (overfitting decay), passed
+  as traced scalars (no recompilation).
+
+Fixed reference bugs (documented divergences):
+- the overfitting detector actually works here: the last test PSNR is
+  recorded from i_testset renders; the reference never assigns
+  args._last_test_psnr so its detector is dead code (run_nerf.py:1076);
+- checkpoint save works with N_importance == 0 (the reference saves
+  network_fine unconditionally and crashes, run_nerf.py:1351).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indoor_nerf_tpu.data.load import SceneData, load_dataset
+from indoor_nerf_tpu.data.pipeline import BatchedRaySampler, ImageRaySampler
+from indoor_nerf_tpu.losses.quantization import QuantConfig
+from indoor_nerf_tpu.models.field import FieldConfig
+from indoor_nerf_tpu.ops.encoding import HashGridConfig
+from indoor_nerf_tpu.parallel.shard import (
+    make_mesh,
+    make_sharded_train_step,
+    replicate_state,
+)
+from indoor_nerf_tpu.render.path import render_path, write_video
+from indoor_nerf_tpu.render.renderer import RenderConfig
+from indoor_nerf_tpu.train.step import TrainConfig, init_train_state
+from indoor_nerf_tpu.utils.checkpoint import maybe_resume, save_checkpoint
+from indoor_nerf_tpu.utils.evaluation import ComprehensiveEvaluator
+from indoor_nerf_tpu.utils.metrics import MetricsLogger
+
+MILESTONES = (15, 20, 25, 30, 35)
+
+
+def mangle_expname(args) -> str:
+    """Hyperparameter-encoding expname suffixes (reference: run_nerf.py:830-845)."""
+    expname = args.expname
+    if args.i_embed == 1:
+        expname += "_hashXYZ"
+    elif args.i_embed == 0:
+        expname += "_posXYZ"
+    if args.i_embed_views == 2:
+        expname += "_sphereVIEW"
+    elif args.i_embed_views == 0:
+        expname += "_posVIEW"
+    expname += "_fine" + str(args.finest_res) + "_log2T" + str(args.log2_hashmap_size)
+    expname += "_lr" + str(args.lrate) + "_decay" + str(args.lrate_decay)
+    expname += "_RAdam"
+    if args.sparse_loss_weight > 0:
+        expname += "_sparse" + str(args.sparse_loss_weight)
+    expname += "_TV" + str(args.tv_loss_weight)
+    return expname
+
+
+def build_train_config(args, scene: SceneData) -> TrainConfig:
+    """Assemble the static config pytree from CLI args + scene geometry
+    (the static half of the reference's create_nerf, run_nerf.py:218-343)."""
+    grid = None
+    if args.i_embed == 1:
+        if scene.bounding_box is None:
+            raise ValueError(
+                f"dataset {args.dataset_type} provides no bounding box; "
+                "hash encoding (--i_embed 1) needs one — use --i_embed 0"
+            )
+        grid = HashGridConfig(
+            bbox_min=scene.bounding_box[0],
+            bbox_max=scene.bounding_box[1],
+            n_levels=16,
+            n_features_per_level=2,
+            log2_hashmap_size=args.log2_hashmap_size,
+            base_resolution=16,
+            finest_resolution=args.finest_res,
+        )
+    quant = QuantConfig(
+        init_bits=float(args.quantization_bits),
+        bit_penalty=args.bit_penalty,
+        target_metric=args.target_metric,
+    )
+    field = FieldConfig(
+        grid=grid,
+        i_embed=args.i_embed,
+        i_embed_views=args.i_embed_views,
+        multires=args.multires,
+        multires_views=args.multires_views,
+        use_viewdirs=args.use_viewdirs,
+        predict_normals=args.predict_normals,
+        n_importance=args.N_importance,
+        netdepth=args.netdepth,
+        netwidth=args.netwidth,
+        netdepth_fine=args.netdepth_fine,
+        netwidth_fine=args.netwidth_fine,
+        use_quantization=args.use_quantization,
+        quant=quant,
+    )
+    render = RenderConfig(
+        field=field,
+        n_samples=args.N_samples,
+        n_importance=args.N_importance,
+        perturb=args.perturb,
+        lindisp=args.lindisp,
+        white_bkgd=args.white_bkgd,
+        raw_noise_std=args.raw_noise_std,
+        ndc=scene.ndc and not args.no_ndc,
+    )
+    return TrainConfig(
+        render=render,
+        near=scene.near,
+        far=scene.far,
+        n_rand=args.N_rand,
+        lrate=args.lrate,
+        lrate_decay=args.lrate_decay,
+        sparse_loss_weight=args.sparse_loss_weight,
+        tv_loss_weight=args.tv_loss_weight,
+        use_structural_priors=args.use_structural_priors,
+        structural_loss_start_iter=args.structural_loss_start_iter,
+        structural_loss_ramp_iters=args.structural_loss_ramp_iters,
+        use_acaq=args.use_acaq,
+        acaq_start_iter=args.acaq_start_iter,
+    )
+
+
+def _quant_bits(state) -> Optional[Dict[str, np.ndarray]]:
+    q = state.get("quant")
+    if q is None:
+        return None
+    network = np.concatenate(
+        [np.atleast_1d(np.asarray(q["act"]["soft_bits"])),
+         np.atleast_1d(np.asarray(q["weight"]["soft_bits"]))]
+    )
+    return {"embed": np.asarray(q["embed"]["soft_bits"]), "network": network}
+
+
+def train(args) -> Dict:
+    """Full training run; returns the time_metrics summary dict."""
+    # Auto-enable normal prediction for structural priors
+    # (reference: run_nerf.py:723-728).
+    if args.use_structural_priors and not args.predict_normals:
+        print("🔧 AUTOMATICALLY ENABLING NORMAL PREDICTION for structural priors")
+        args.predict_normals = True
+
+    scene = load_dataset(args)
+    H, W, focal = scene.hwf
+    K = scene.K
+
+    basedir = args.basedir
+    expname = mangle_expname(args)
+    args.expname = expname
+    logdir = os.path.join(basedir, expname)
+    os.makedirs(logdir, exist_ok=True)
+    with open(os.path.join(logdir, "args.txt"), "w") as f:
+        for arg in sorted(vars(args)):
+            f.write(f"{arg} = {getattr(args, arg)}\n")
+    if args.config is not None:
+        with open(os.path.join(logdir, "config.txt"), "w") as f:
+            f.write(open(args.config).read())
+
+    metrics_logger = MetricsLogger(basedir, expname, args)
+    evaluator = ComprehensiveEvaluator()
+
+    cfg = build_train_config(args, scene)
+    state = init_train_state(jax.random.PRNGKey(args.seed), cfg)
+    state = maybe_resume(logdir, state, args.ft_path, args.no_reload)
+    start = int(np.asarray(jax.device_get(state["step"])))
+
+    test_config = cfg.render.test_mode()
+
+    # Render-only short circuit (reference: run_nerf.py:876-894).
+    if args.render_only:
+        print("RENDER ONLY")
+        gt = scene.images[scene.i_test] if args.render_test else None
+        render_poses = scene.render_poses
+        testsavedir = os.path.join(
+            logdir,
+            "renderonly_{}_{:06d}".format(
+                "test" if args.render_test else "path", start
+            ),
+        )
+        os.makedirs(testsavedir, exist_ok=True)
+        print("test poses shape", render_poses.shape)
+        rgbs, _, _ = render_path(
+            render_poses, scene.hwf, K, test_config, state["params"],
+            scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
+            render_factor=args.render_factor, quant_state=state["quant"],
+        )
+        print("Done rendering", testsavedir)
+        write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
+        return {}
+
+    # Mesh + sharded step.
+    mesh_axes = ("data",)
+    mesh = make_mesh(axis_names=mesh_axes)
+    print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
+    state = replicate_state(state, mesh)
+    step_fn = make_sharded_train_step(cfg, mesh)
+
+    # Ray samplers (reference: run_nerf.py:899-1004).
+    use_batching = not args.no_batching
+    if use_batching:
+        sampler = BatchedRaySampler(
+            scene.images, scene.poses, scene.i_train, H, W, K,
+            args.N_rand, seed=args.seed,
+        )
+        sample = lambda i: sampler.next()
+    else:
+        sampler = ImageRaySampler(
+            scene.images, scene.poses, scene.i_train, H, W, K, args.N_rand,
+            precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
+            seed=args.seed,
+        )
+        sample = sampler.next
+
+    n_iters = args.n_iters + 1
+    print("Begin")
+    print("TRAIN views are", scene.i_train)
+    print("TEST views are", scene.i_test)
+    print("VAL views are", scene.i_val)
+
+    # Host-side runtime state (reference: run_nerf.py:930-959).
+    prior_weights = {
+        "depth_prior": args.depth_prior_weight,
+        "planarity": args.planarity_weight,
+        "manhattan": args.manhattan_weight,
+        "normal_consistency": args.normal_consistency_weight,
+    }
+    last_test_psnr: Optional[float] = None
+    loss_list, psnr_list, time_list = [], [], []
+    time_metrics = {
+        "start_time": time.time(),
+        "structural_priors_start_time": None,
+        "milestones": {},
+        "convergence_time": None,
+        "iterations_per_second": [],
+        "time_to_milestones": {},
+        "baseline_comparison": {
+            "time_to_20db": None, "time_to_25db": None, "time_to_30db": None,
+        },
+    }
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    time0 = time.time()
+    pending = None  # (iteration, device metrics) — deferred one step
+    iteration_start_time = time.time()
+
+    def process_metrics(i: int, metrics, quant_bits):
+        nonlocal last_test_psnr, iteration_start_time
+        m = jax.device_get(metrics)
+        loss = float(m["loss"])
+        psnr = float(m["psnr"])
+        lr = float(m["lr"])
+        now = time.time()
+
+        metrics_logger.log_iteration(
+            iteration=i, time_elapsed=now - time0, loss=loss, psnr=psnr,
+            lr=lr, quantizer_bits=quant_bits,
+        )
+
+        dt = now - iteration_start_time
+        time_metrics["iterations_per_second"].append(1.0 / dt if dt > 0 else 0)
+        iteration_start_time = now
+
+        # PSNR milestones (reference: run_nerf.py:1305-1327).
+        for milestone in MILESTONES:
+            mkey = f"{milestone}db"
+            if psnr >= milestone and mkey not in time_metrics["milestones"]:
+                mt = now - time_metrics["start_time"]
+                time_metrics["milestones"][mkey] = {
+                    "iteration": i, "time_seconds": mt, "time_minutes": mt / 60.0,
+                }
+                bc = time_metrics["baseline_comparison"]
+                if f"time_to_{milestone}db" in bc:
+                    bc[f"time_to_{milestone}db"] = mt / 60.0
+                print(f"🎯 MILESTONE: Reached {milestone} dB PSNR at iteration "
+                      f"{i} ({mt/60:.2f} min)")
+
+        # Convergence detection (reference: run_nerf.py:1330-1340).
+        if (i > 2000 and len(psnr_list) > 100
+                and time_metrics["convergence_time"] is None):
+            recent = psnr_list[-100:]
+            if (np.std(recent) < 0.5 and abs(recent[-1] - recent[0]) < 0.5):
+                ct = now - time_metrics["start_time"]
+                time_metrics["convergence_time"] = ct / 60.0
+                print(f"📊 CONVERGENCE DETECTED at iteration {i} "
+                      f"({ct/60:.1f} min)")
+
+        # Overfitting detector for structural priors (fixed version of
+        # reference run_nerf.py:1073-1094 — last_test_psnr is real here).
+        if (args.use_structural_priors
+                and i > args.structural_loss_start_iter + 500
+                and i % 500 == 0 and len(psnr_list) > 50
+                and last_test_psnr is not None):
+            recent_train = float(np.mean(psnr_list[-20:]))
+            if recent_train - last_test_psnr > args.overfitting_threshold:
+                print(f"\n⚠️  Overfitting detected at iteration {i}")
+                print(f"   Train PSNR: {recent_train:.1f} dB, "
+                      f"Last Test: {last_test_psnr:.1f} dB")
+                for k in ("planarity", "manhattan", "normal_consistency",
+                          "depth_prior"):
+                    prior_weights[k] = max(
+                        args.min_structural_weight, prior_weights[k] * 0.7
+                    )
+                print(f"   Reduced structural weights by 30%: {prior_weights}")
+
+        return loss, psnr
+
+    for i in range(start + 1, n_iters):
+        batch_np = sample(i)
+        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        key, sub = jax.random.split(key)
+        pw = {k: jnp.asarray(v, jnp.float32) for k, v in prior_weights.items()}
+        state, metrics = step_fn(state, batch, sub, pw)
+
+        # Structural-prior activation banner (reference: run_nerf.py:1043-1066).
+        if (args.use_structural_priors
+                and i == args.structural_loss_start_iter):
+            time_metrics["structural_priors_start_time"] = time.time()
+            t_act = (time_metrics["structural_priors_start_time"]
+                     - time_metrics["start_time"])
+            print("\n" + "=" * 80)
+            print(f"🏗️  ACTIVATING STRUCTURAL PRIORS AT ITERATION {i}")
+            print(f"   weights={prior_weights}  ramp="
+                  f"{args.structural_loss_ramp_iters} iters  "
+                  f"time-to-activation={t_act/60:.1f} min")
+            print("=" * 80 + "\n")
+
+        # Deferred metric processing: handle step i-1 while step i runs.
+        if pending is not None:
+            pi, pm = pending
+            qb = _quant_bits(state) if args.use_quantization else None
+            loss, psnr = process_metrics(pi, pm, qb)
+        pending = (i, metrics)
+
+        is_logging_iter = (
+            i % args.i_weights == 0 or i % args.i_print == 0
+            or (i % args.i_video == 0 and i > 0)
+            or (i % args.i_testset == 0 and i > 0)
+        )
+        if is_logging_iter:
+            # Flush the deferred metric so logs reflect THIS iteration.
+            pi, pm = pending
+            qb = _quant_bits(state) if args.use_quantization else None
+            loss, psnr = process_metrics(pi, pm, qb)
+            pending = None
+
+        t = time.time() - time0
+
+        if i % args.i_weights == 0:
+            path = save_checkpoint(logdir, i, state)
+            print("Saved checkpoints at", path)
+            metrics_logger.save_checkpoint(i)
+            metrics_logger.plot_training_curves()
+            if args.use_quantization:
+                metrics_logger.calculate_model_complexity(
+                    jax.device_get(state["params"]), _quant_bits(state)
+                )
+                metrics_logger.plot_quantization_analysis()
+
+        if i % args.i_video == 0 and i > 0:
+            rgbs, disps, _ = render_path(
+                scene.render_poses, scene.hwf, K, test_config,
+                state["params"], scene.near, scene.far,
+                quant_state=state["quant"], save_figures=False,
+            )
+            print("Done, saving", rgbs.shape, disps.shape)
+            moviebase = os.path.join(
+                logdir, "{}_spiral_{:06d}_".format(expname, i)
+            )
+            write_video(moviebase + "rgb.mp4", rgbs)
+            write_video(moviebase + "disp.mp4", disps / max(np.max(disps), 1e-8))
+
+        if i % args.i_testset == 0 and i > 0 and len(scene.i_test) > 0:
+            testsavedir = os.path.join(logdir, "testset_{:06d}".format(i))
+            os.makedirs(testsavedir, exist_ok=True)
+            print("test poses shape", scene.poses[scene.i_test].shape)
+            rgbs, _, psnrs = render_path(
+                scene.poses[scene.i_test], scene.hwf, K, test_config,
+                state["params"], scene.near, scene.far,
+                gt_imgs=scene.images[scene.i_test], savedir=testsavedir,
+                quant_state=state["quant"],
+            )
+            print("Saved test set")
+            if psnrs:
+                avg_test_psnr = sum(psnrs) / len(psnrs)
+                last_test_psnr = avg_test_psnr
+                ssims = [
+                    evaluator.evaluate_image(r, g)["ssim"]
+                    for r, g in zip(rgbs, scene.images[scene.i_test])
+                ]
+                metrics_logger.log_test_metrics(
+                    i, avg_test_psnr, ssim=float(np.mean(ssims))
+                )
+                print(f"Logged test PSNR: {avg_test_psnr:.2f}")
+
+        if i % args.i_print == 0:
+            print(f"[TRAIN] Iter: {i} Loss: {loss}  PSNR: {psnr}")
+            if args.use_quantization and i > 0:
+                qb = _quant_bits(state)
+                all_bits = np.concatenate([qb["embed"], qb["network"]])
+                print(f"[QUANT] Average bits: {np.mean(all_bits):.2f}, "
+                      f"Num quantizers: {all_bits.size}")
+            loss_list.append(loss)
+            psnr_list.append(psnr)
+            time_list.append(t)
+
+            training_data = {
+                "losses": loss_list,
+                "psnr": psnr_list,
+                "time": time_list,
+                "time_metrics": time_metrics,
+                "structural_priors_enabled": args.use_structural_priors,
+                "config": {
+                    "depth_prior_weight": prior_weights["depth_prior"],
+                    "planarity_weight": prior_weights["planarity"],
+                    "manhattan_weight": prior_weights["manhattan"],
+                    "normal_consistency_weight":
+                        prior_weights["normal_consistency"],
+                    "structural_loss_start_iter":
+                        args.structural_loss_start_iter,
+                    "predict_normals": args.predict_normals,
+                },
+            }
+            with open(os.path.join(logdir, "training_metrics.pkl"), "wb") as fp:
+                pickle.dump(training_data, fp)
+            with open(os.path.join(logdir, "loss_vs_time.pkl"), "wb") as fp:
+                pickle.dump(
+                    {"losses": loss_list, "psnr": psnr_list, "time": time_list},
+                    fp,
+                )
+
+            if i % 1000 == 0 and i > 0:
+                elapsed = (time.time() - time_metrics["start_time"]) / 60.0
+                ips = np.mean(time_metrics["iterations_per_second"][-100:])
+                print(f"\n📊 Time Efficiency Summary @ {i} iterations:")
+                print(f"   Total Time: {elapsed:.1f} minutes")
+                print(f"   Average Speed: {ips:.2f} it/s")
+                for mkey, data in time_metrics["milestones"].items():
+                    print(f"     {mkey}: {data['time_minutes']:.2f} min "
+                          f"(iter {data['iteration']})")
+                print()
+
+    # Final artifacts (reference: run_nerf.py:1476-1483).
+    if pending is not None:
+        qb = _quant_bits(state) if args.use_quantization else None
+        process_metrics(pending[0], pending[1], qb)
+    final_step = int(np.asarray(jax.device_get(state["step"])))
+    save_checkpoint(logdir, final_step, state)
+    metrics_logger.save_checkpoint(final_step)
+    metrics_logger.plot_training_curves()
+    if args.use_quantization:
+        metrics_logger.plot_quantization_analysis()
+    summary_df = metrics_logger.generate_summary_table()
+    print("\n=== Training Summary ===")
+    print(summary_df)
+    return time_metrics

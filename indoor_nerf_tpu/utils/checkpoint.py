@@ -1,0 +1,69 @@
+"""Checkpoint save / auto-resume with the reference's directory semantics.
+
+Equivalent of the torch.save/.tar flow (reference: PocketNeRF/run_nerf.py:
+1345-1362 save, 295-315 resume): checkpoints live in ``<logdir>/<expname>/``
+named ``{step:06d}.ckpt``, the newest is auto-loaded unless --no_reload, and
+--ft_path pins a specific file. The payload is the WHOLE train-state pytree
+(params + RAdam moments + quant state + counters) serialized with
+flax.serialization msgpack — one file, byte-stable, no pickle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+CKPT_SUFFIX = ".ckpt"
+
+
+def save_checkpoint(logdir: str, step: int, state: Dict[str, Any]) -> str:
+    os.makedirs(logdir, exist_ok=True)
+    path = os.path.join(logdir, f"{step:06d}{CKPT_SUFFIX}")
+    host_state = jax.device_get(state)
+    with open(path, "wb") as f:
+        f.write(serialization.to_bytes(host_state))
+    return path
+
+
+def list_checkpoints(logdir: str) -> List[str]:
+    """Sorted checkpoint paths (reference: run_nerf.py:299 sorts + filters)."""
+    if not os.path.isdir(logdir):
+        return []
+    return [
+        os.path.join(logdir, f)
+        for f in sorted(os.listdir(logdir))
+        if f.endswith(CKPT_SUFFIX)
+    ]
+
+
+def restore_checkpoint(
+    path: str, state_template: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Restore into the template pytree (shapes/dtypes must match)."""
+    with open(path, "rb") as f:
+        restored = serialization.from_bytes(state_template, f.read())
+    return restored
+
+
+def maybe_resume(
+    logdir: str,
+    state: Dict[str, Any],
+    ft_path: Optional[str] = None,
+    no_reload: bool = False,
+) -> Dict[str, Any]:
+    """Auto-resume-newest semantics (reference: run_nerf.py:295-315)."""
+    if ft_path is not None and ft_path != "None":
+        ckpts = [ft_path]
+    else:
+        ckpts = list_checkpoints(logdir)
+    print("Found ckpts", ckpts)
+    if ckpts and not no_reload:
+        path = ckpts[-1]
+        print("Reloading from", path)
+        state = restore_checkpoint(path, state)
+        print("Resumed at step", int(np.asarray(state["step"])))
+    return state

@@ -1,0 +1,134 @@
+"""Image-quality evaluation: PSNR / SSIM / LPIPS.
+
+Equivalent of ComprehensiveEvaluator (reference:
+PocketNeRF/evaluation_utils.py:11-141). skimage and lpips are not baked in,
+so SSIM is implemented here (Wang et al. 2004 with skimage's NeRF-standard
+settings: 11x11 Gaussian window sigma 1.5, data_range 1) and LPIPS falls
+back to None with a warning when pretrained AlexNet weights are unavailable
+(zero-egress environments cannot download them).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def psnr(img: np.ndarray, gt: np.ndarray) -> float:
+    """(reference: evaluation_utils.py:24-27, run_nerf.py:186)"""
+    mse = np.mean((img.astype(np.float64) - gt.astype(np.float64)) ** 2)
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+def _gaussian_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x**2) / (2 * sigma**2))
+    g /= g.sum()
+    return g
+
+
+def _filter2d_sep(img: np.ndarray, k: np.ndarray) -> np.ndarray:
+    """Separable 'valid' convolution along the two leading axes."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    w = k.size
+    out = sliding_window_view(img, w, axis=0) @ k
+    out = sliding_window_view(out, w, axis=1) @ k
+    return out
+
+
+def ssim(img: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
+    """Mean SSIM with Gaussian weighting, averaged over channels.
+
+    Matches skimage.metrics.structural_similarity with
+    gaussian_weights=True, sigma=1.5, use_sample_covariance=False — the
+    standard NeRF-benchmark configuration.
+    """
+    img = img.astype(np.float64)
+    gt = gt.astype(np.float64)
+    if img.ndim == 2:
+        img = img[..., None]
+        gt = gt[..., None]
+    k = _gaussian_window()
+    c1 = (0.01 * data_range) ** 2
+    c2 = (0.03 * data_range) ** 2
+
+    vals = []
+    for c in range(img.shape[-1]):
+        x, y = img[..., c], gt[..., c]
+        mu_x = _filter2d_sep(x, k)
+        mu_y = _filter2d_sep(y, k)
+        mu_xx = _filter2d_sep(x * x, k)
+        mu_yy = _filter2d_sep(y * y, k)
+        mu_xy = _filter2d_sep(x * y, k)
+        var_x = mu_xx - mu_x**2
+        var_y = mu_yy - mu_y**2
+        cov = mu_xy - mu_x * mu_y
+        s = ((2 * mu_x * mu_y + c1) * (2 * cov + c2)) / (
+            (mu_x**2 + mu_y**2 + c1) * (var_x + var_y + c2)
+        )
+        vals.append(s.mean())
+    return float(np.mean(vals))
+
+
+class LpipsScorer:
+    """LPIPS(alex) scorer; silently unavailable without pretrained weights.
+
+    The reference uses the lpips package with the AlexNet backbone
+    (evaluation_utils.py:18-20). That needs downloaded weights; in a
+    zero-egress environment we degrade to None scores rather than fake them.
+    """
+
+    def __init__(self):
+        self._model = None
+        self.available = False
+        try:  # pragma: no cover - depends on environment weights
+            import lpips  # type: ignore
+
+            self._model = lpips.LPIPS(net="alex")
+            self.available = True
+        except Exception:
+            self.available = False
+
+    def __call__(self, img: np.ndarray, gt: np.ndarray) -> Optional[float]:
+        if not self.available:
+            return None
+        import torch  # pragma: no cover
+
+        def prep(x):
+            t = torch.from_numpy(np.asarray(x, np.float32) * 2.0 - 1.0)
+            return t.permute(2, 0, 1)[None]
+
+        with torch.no_grad():
+            return float(self._model(prep(img), prep(gt)).item())
+
+
+class ComprehensiveEvaluator:
+    """Test-set sweep with mean/std per metric
+    (reference: evaluation_utils.py:11-92)."""
+
+    def __init__(self):
+        self.lpips = LpipsScorer()
+        if not self.lpips.available:
+            print("[eval] LPIPS unavailable (no pretrained weights); "
+                  "reporting PSNR/SSIM only")
+
+    def evaluate_image(self, img: np.ndarray, gt: np.ndarray) -> Dict:
+        out = {"psnr": psnr(img, gt), "ssim": ssim(img, gt)}
+        lp = self.lpips(img, gt)
+        if lp is not None:
+            out["lpips"] = lp
+        return out
+
+    def evaluate_test_set(self, images: List[np.ndarray],
+                          gts: List[np.ndarray]) -> Dict:
+        per_image = [self.evaluate_image(i, g) for i, g in zip(images, gts)]
+        keys = per_image[0].keys() if per_image else []
+        summary = {}
+        for k in keys:
+            vals = [m[k] for m in per_image]
+            summary[f"{k}_mean"] = float(np.mean(vals))
+            summary[f"{k}_std"] = float(np.std(vals))
+        summary["per_image"] = per_image
+        return summary

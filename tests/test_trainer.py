@@ -1,0 +1,126 @@
+"""Integration tests for the full trainer driver + CLI config parsing."""
+
+import glob
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from indoor_nerf_tpu.train.config import parse_args
+
+
+def _args(tmp_path, n_iters=25, **overrides):
+    argv = [
+        "--expname", "smoke",
+        "--basedir", str(tmp_path),
+        "--dataset_type", "synthetic",
+        "--use_viewdirs",
+        "--white_bkgd",
+        "--N_rand", "128",
+        "--N_samples", "16",
+        "--N_importance", "0",
+        "--finest_res", "64",
+        "--log2_hashmap_size", "12",
+        "--lrate", "0.01",
+        "--n_iters", str(n_iters),
+        "--i_print", "10",
+        "--i_weights", "20",
+        "--i_testset", "20",
+        "--i_video", "100000",
+        "--testskip", "1",
+    ]
+    for k, v in overrides.items():
+        argv += [f"--{k}"] + ([] if v is True else [str(v)])
+    return parse_args(argv)
+
+
+def test_config_file_parsing(tmp_path):
+    cfg = tmp_path / "test.txt"
+    cfg.write_text(
+        "# comment\n"
+        "expname = from_file\n"
+        "dataset_type = blender\n"
+        "no_batching = True\n"
+        "N_rand = 1024\n"
+        "half_res = True\n"
+        "lrate_decay = 500\n"
+    )
+    args = parse_args(["--config", str(cfg)])
+    assert args.expname == "from_file"
+    assert args.dataset_type == "blender"
+    assert args.no_batching is True
+    assert args.half_res is True
+    assert args.N_rand == 1024
+    assert args.lrate_decay == 500
+    # CLI overrides the file (configargparse precedence).
+    args = parse_args(["--config", str(cfg), "--N_rand", "64"])
+    assert args.N_rand == 64
+
+
+def test_reference_config_files_parse():
+    for path in sorted(glob.glob("configs/*.txt")):
+        args = parse_args(["--config", path])
+        assert args.expname, path
+
+
+@pytest.mark.slow
+def test_trainer_end_to_end_with_artifacts(tmp_path):
+    from indoor_nerf_tpu.train.trainer import train
+
+    args = _args(tmp_path, n_iters=25)
+    time_metrics = train(args)
+    assert "milestones" in time_metrics
+
+    logdir = os.path.join(str(tmp_path), args.expname)
+    assert os.path.exists(os.path.join(logdir, "args.txt"))
+    assert os.path.exists(os.path.join(logdir, "training_metrics.pkl"))
+    assert os.path.exists(os.path.join(logdir, "loss_vs_time.pkl"))
+    # checkpoints at i_weights=20 and the final step 25
+    ckpts = sorted(glob.glob(os.path.join(logdir, "*.ckpt")))
+    assert len(ckpts) >= 2
+    # metrics artifacts
+    assert os.path.exists(os.path.join(logdir, "metrics", "config.json"))
+    assert os.path.exists(os.path.join(logdir, "metrics", "training_curves.png"))
+    assert glob.glob(os.path.join(logdir, "metrics", "metrics_iter_*.pkl"))
+    # test-set render artifacts
+    testdirs = glob.glob(os.path.join(logdir, "testset_*"))
+    assert testdirs
+    assert glob.glob(os.path.join(testdirs[0], "test_psnrs_avg*.pkl"))
+    assert glob.glob(os.path.join(testdirs[0], "*.png"))
+
+    with open(os.path.join(logdir, "training_metrics.pkl"), "rb") as f:
+        td = pickle.load(f)
+    assert len(td["losses"]) > 0
+    assert np.isfinite(td["losses"]).all()
+
+
+@pytest.mark.slow
+def test_trainer_resume(tmp_path):
+    from indoor_nerf_tpu.train.trainer import train
+
+    args = _args(tmp_path, n_iters=20)
+    train(args)
+    args2 = _args(tmp_path, n_iters=30)
+    args2.expname = "smoke"  # re-mangles to the same dir
+    train(args2)
+    logdir = os.path.join(str(tmp_path), args.expname)
+    ckpts = sorted(glob.glob(os.path.join(logdir, "*.ckpt")))
+    # resumed run continued from 20 -> final 30 exists
+    assert any("000030" in c for c in ckpts), ckpts
+
+
+@pytest.mark.slow
+def test_render_only(tmp_path):
+    from indoor_nerf_tpu.train.trainer import train
+
+    args = _args(tmp_path, n_iters=20)
+    train(args)
+    args2 = _args(tmp_path, n_iters=20, render_only=True, render_test=True)
+    args2.expname = "smoke"
+    train(args2)
+    logdir = os.path.join(str(tmp_path), args.expname)
+    rdirs = glob.glob(os.path.join(logdir, "renderonly_test_*"))
+    assert rdirs
+    # mp4 if an ffmpeg backend exists, else the documented GIF fallback
+    assert glob.glob(os.path.join(rdirs[0], "video.*"))
