@@ -29,6 +29,11 @@ from indoor_nerf_tpu.losses.quantization import (
     calibrate,
     learned_fake_quant,
 )
+from indoor_nerf_tpu.ops.blockhash import (
+    BlockHashConfig,
+    block_hash_encode,
+    init_block_table,
+)
 from indoor_nerf_tpu.ops.encoding import (
     HashGridConfig,
     hash_grid_indices,
@@ -51,10 +56,13 @@ Params = Dict[str, Any]
 @dataclasses.dataclass(frozen=True)
 class FieldConfig:
     """Static model configuration (mirrors create_nerf's choices,
-    reference: run_nerf.py:218-278)."""
+    reference: run_nerf.py:218-278). i_embed extends the reference's
+    {0: PE, 1: hash} with 3: the TPU-native block-hash grid
+    (ops/blockhash.py) — same capability, wide-row memory layout."""
 
     grid: Optional[HashGridConfig] = None
-    i_embed: int = 1  # 1 = hash grid, 0 = positional encoding
+    block_grid: Optional["BlockHashConfig"] = None
+    i_embed: int = 1  # 1 = hash grid, 0 = positional encoding, 3 = block-hash
     i_embed_views: int = 2  # 2 = SH degree 4, 0 = positional encoding, -1 = none
     multires: int = 10
     multires_views: int = 4
@@ -80,7 +88,13 @@ class FieldConfig:
     def input_ch(self) -> int:
         if self.i_embed == 1:
             return self.grid.out_dim
+        if self.i_embed == 3:
+            return self.block_grid.out_dim
         return positional_encode_dim(self.multires)
+
+    @property
+    def uses_grid(self) -> bool:
+        return self.i_embed in (1, 3)
 
     @property
     def input_ch_views(self) -> int:
@@ -103,8 +117,11 @@ def init_field_params(key: jax.Array, config: FieldConfig) -> Params:
     """
     k_table, k_coarse, k_fine = jax.random.split(key, 3)
     params: Params = {}
-    if config.i_embed == 1:
-        params["table"] = init_hash_table(k_table, config.grid)
+    if config.uses_grid:
+        if config.i_embed == 1:
+            params["table"] = init_hash_table(k_table, config.grid)
+        else:
+            params["table"] = init_block_table(k_table, config.block_grid)
         params["coarse"] = init_nerf_small(
             k_coarse,
             input_ch=config.input_ch,
@@ -227,6 +244,11 @@ def encode_position(
             )
         feats = trilinear_interp(corner_feats, weights)
         return feats.reshape(x.shape[0], config.grid.out_dim), keep, quant_state
+    if config.i_embed == 3:
+        # TPU-native block-hash path. A-CAQ per-level fake-quant is currently
+        # only wired into the i_embed=1 layout (documented limitation).
+        feats, keep = block_hash_encode(x, params["table"], config.block_grid)
+        return feats, keep, quant_state
     feats = positional_encode(x, config.multires)
     return feats, jnp.ones(x.shape[0], jnp.bool_), quant_state
 
@@ -267,7 +289,7 @@ def query_field(
         dirs = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
         view_feats = encode_views(dirs, config)
 
-    if config.i_embed == 1:
+    if config.uses_grid:
         weight_quant = None
         act_quants = None
         if config.use_quantization and quant_state is not None:

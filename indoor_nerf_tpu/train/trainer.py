@@ -78,18 +78,33 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
     """Assemble the static config pytree from CLI args + scene geometry
     (the static half of the reference's create_nerf, run_nerf.py:218-343)."""
     grid = None
-    if args.i_embed == 1:
+    block_grid = None
+    if args.i_embed in (1, 3):
         if scene.bounding_box is None:
             raise ValueError(
                 f"dataset {args.dataset_type} provides no bounding box; "
-                "hash encoding (--i_embed 1) needs one — use --i_embed 0"
+                "grid encodings (--i_embed 1/3) need one — use --i_embed 0"
             )
+    if args.i_embed == 1:
         grid = HashGridConfig(
             bbox_min=scene.bounding_box[0],
             bbox_max=scene.bounding_box[1],
             n_levels=16,
             n_features_per_level=2,
             log2_hashmap_size=args.log2_hashmap_size,
+            base_resolution=16,
+            finest_resolution=args.finest_res,
+        )
+    elif args.i_embed == 3:
+        from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+
+        # Match the reference parameter budget: 2^log2T entries ~= rows * 125.
+        block_grid = BlockHashConfig(
+            bbox_min=scene.bounding_box[0],
+            bbox_max=scene.bounding_box[1],
+            n_levels=16,
+            n_features_per_level=2,
+            log2_rows=max(4, args.log2_hashmap_size - 7),
             base_resolution=16,
             finest_resolution=args.finest_res,
         )
@@ -100,6 +115,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
     )
     field = FieldConfig(
         grid=grid,
+        block_grid=block_grid,
         i_embed=args.i_embed,
         i_embed_views=args.i_embed_views,
         multires=args.multires,

@@ -1,0 +1,166 @@
+"""Tests for the TPU-native block-hash encoder and the lane_select kernel."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indoor_nerf_tpu.ops.blockhash import (
+    BLOCK,
+    SIDE,
+    BlockHashConfig,
+    block_hash_encode,
+    init_block_table,
+)
+from indoor_nerf_tpu.ops.pallas.lane_gather import lane_select
+
+CFG = BlockHashConfig(
+    bbox_min=(-1.0, -1.0, -1.0),
+    bbox_max=(1.0, 1.0, 1.0),
+    n_levels=4,
+    log2_rows=8,
+    base_resolution=16,
+    finest_resolution=128,
+)
+
+
+def test_lane_select_matches_take_along_axis(rng):
+    vals = jnp.asarray(rng.normal(size=(300, 128)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 128, size=(300, 8)), jnp.int32)
+    got = lane_select(vals, idx, 8)
+    want = jnp.take_along_axis(vals, idx, axis=1)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+
+def test_lane_select_grad(rng):
+    vals = jnp.asarray(rng.normal(size=(64, 128)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 128, size=(64, 8)), jnp.int32)
+    g = jnp.asarray(rng.normal(size=(64, 8)), jnp.float32)
+
+    def f(v):
+        return jnp.sum(lane_select(v, idx, 8) * g)
+
+    grad = jax.grad(f)(vals)
+    # Independent dense reference.
+    want = np.zeros((64, 128), np.float32)
+    for i in range(64):
+        for j in range(8):
+            want[i, int(idx[i, j])] += float(g[i, j])
+    np.testing.assert_allclose(np.asarray(grad), want, rtol=1e-5, atol=1e-6)
+
+
+def test_block_encode_shapes_and_mask(rng):
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    assert table.shape == (CFG.n_levels * CFG.rows_per_level, 2 * 128)
+    x = jnp.asarray(
+        [[0.0, 0.0, 0.0], [5.0, 0.0, 0.0], [-0.5, 0.3, 0.9]], jnp.float32
+    )
+    feats, keep = block_hash_encode(x, table, CFG)
+    assert feats.shape == (3, CFG.out_dim)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
+    feats2, _ = block_hash_encode(x, table, CFG)
+    np.testing.assert_array_equal(np.asarray(feats), np.asarray(feats2))
+
+
+def test_block_encode_continuity_within_block(rng):
+    """Inside one voxel the encoding is trilinear -> Lipschitz in x."""
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    x0 = jnp.asarray([[0.111, 0.222, 0.333]], jnp.float32)
+    eps = 1e-5
+    x1 = x0 + eps
+    f0, _ = block_hash_encode(x0, table, CFG)
+    f1, _ = block_hash_encode(x1, table, CFG)
+    # feature scale ~1e-4; displacement eps in a (2/128)-wide voxel moves
+    # weights by ~eps*res/2 <= 1e-3 -> delta <= ~1e-7
+    assert float(jnp.max(jnp.abs(f1 - f0))) < 1e-6
+
+
+def test_block_encode_matches_manual_reference(rng):
+    """Spot-check one point against a hand-rolled numpy reference."""
+    from indoor_nerf_tpu.ops.blockhash import _STAGGER, _BLOCK_PRIMES
+    from indoor_nerf_tpu.ops.encoding import level_resolutions
+
+    table = np.asarray(init_block_table(jax.random.PRNGKey(1), CFG))
+    x = np.array([[0.37, -0.58, 0.12]], np.float32)
+    got, _ = block_hash_encode(jnp.asarray(x), jnp.asarray(table), CFG)
+    got = np.asarray(got)[0]
+
+    res = level_resolutions(CFG.as_hash_grid())
+    bmin = np.array(CFG.bbox_min, np.float32)
+    bmax = np.array(CFG.bbox_max, np.float32)
+    R = CFG.rows_per_level
+    for lvl in range(CFG.n_levels):
+        grid = (bmax - bmin) / res[lvl]
+        relv = (x[0] - bmin) / grid
+        bl = np.floor(relv).astype(np.int64)
+        w = relv - bl
+        acc = np.zeros(2, np.float64)
+        for c in range(8):
+            bits = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
+            v0 = bl + _STAGGER[lvl]
+            blk = (v0) // BLOCK
+            local = v0 - blk * BLOCK + bits
+            # corner may cross into the next block cell within the halo tile
+            h = 0
+            for d in range(3):
+                h ^= int(blk[d]) * int(_BLOCK_PRIMES[d])
+            h ^= lvl * int(_BLOCK_PRIMES[3])
+            row = (h % (1 << 64)) & (R - 1)
+            lane = local[0] * SIDE * SIDE + local[1] * SIDE + local[2]
+            cw = np.prod([w[d] if bits[d] else 1 - w[d] for d in range(3)])
+            for f in range(2):
+                acc[f] += cw * table[lvl * R + row, f * 128 + lane]
+        np.testing.assert_allclose(
+            got[2 * lvl : 2 * lvl + 2], acc, rtol=1e-4, atol=1e-8
+        )
+
+
+def test_block_encode_gradients_flow(rng):
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, size=(32, 3)), jnp.float32)
+
+    def loss(t):
+        f, _ = block_hash_encode(x, t, CFG)
+        return jnp.sum(f**2)
+
+    g = jax.grad(loss)(table)
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.slow
+def test_blockhash_training_converges():
+    """The block-hash field trains to the same quality class as exact NGP."""
+    from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
+    from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+    from indoor_nerf_tpu.models.field import FieldConfig
+    from indoor_nerf_tpu.render.renderer import RenderConfig
+    from indoor_nerf_tpu.train.step import TrainConfig, init_train_state, train_step
+
+    scene = make_synthetic_scene(n_views=10, H=48, W=48)
+    bg = BlockHashConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=8, log2_rows=7, base_resolution=16, finest_resolution=128,
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=32, white_bkgd=True)
+    cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
+                      n_rand=512, lrate=0.01, tv_loss_weight=0.0)
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], cfg.n_rand,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+    key = jax.random.PRNGKey(1)
+    last = None
+    for i in range(400):
+        key, sub = jax.random.split(key)
+        batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+        state, metrics = step_fn(state, batch, sub)
+        last = float(metrics["psnr"])
+    assert np.isfinite(last)
+    assert last > 18.0, last
