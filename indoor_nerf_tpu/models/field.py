@@ -259,6 +259,40 @@ def encode_views(dirs: jnp.ndarray, config: FieldConfig) -> jnp.ndarray:
     return positional_encode(dirs, config.multires_views)
 
 
+def sigma_query(
+    params: Params,
+    mlp_name: str,
+    pts: jnp.ndarray,
+    config: FieldConfig,
+) -> jnp.ndarray:
+    """Density-only field query for occupancy-grid refreshes.
+
+    Runs encode + sigma net on ``[N, 3]`` points (no view branch, no color
+    net, no quantizers) — the cheap query the occupancy grid needs.
+    """
+    feats, keep, _ = encode_position(pts, params, config, None, False, None)
+    if config.uses_grid:
+        h = feats
+        sigma_net = params[mlp_name]["sigma_net"]
+        for l, layer in enumerate(sigma_net):
+            h = jnp.dot(h, layer["w"], preferred_element_type=jnp.float32)
+            if "b" in layer:
+                h = h + layer["b"]
+            if l != len(sigma_net) - 1:
+                h = jax.nn.relu(h)
+        sigma = h[..., 0]
+    else:
+        view_feats = (
+            encode_views(jnp.zeros_like(pts), config)
+            if config.use_viewdirs else None
+        )
+        raw = apply_nerf_big(
+            params[mlp_name], feats, view_feats, use_viewdirs=config.use_viewdirs
+        )
+        sigma = raw[..., 3]
+    return jnp.where(keep, sigma, 0.0)
+
+
 def query_field(
     params: Params,
     mlp_name: str,

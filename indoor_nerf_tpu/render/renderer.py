@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from indoor_nerf_tpu.models.field import FieldConfig, query_field
+from indoor_nerf_tpu.ops.occupancy import OccupancyConfig, occupancy_z_vals
 from indoor_nerf_tpu.ops.rays import get_rays, ndc_rays
 from indoor_nerf_tpu.ops.sampling import sample_pdf, stratified_z_vals
 from indoor_nerf_tpu.ops.volume import raw2outputs
@@ -42,6 +43,10 @@ class RenderConfig:
     white_bkgd: bool = False
     raw_noise_std: float = 0.0
     ndc: bool = False
+    # Occupancy-guided sampling (ops/occupancy.py): when set, replaces the
+    # coarse+fine hierarchy with one n_occ_samples pass over occupied space.
+    occupancy: Optional[OccupancyConfig] = None
+    n_occ_samples: int = 64
 
     def test_mode(self) -> "RenderConfig":
         """Test-time variant: no jitter, no sigma noise
@@ -62,6 +67,7 @@ def render_rays(
     train: bool = True,
     step: Optional[jnp.ndarray] = None,
     retraw: bool = False,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[Dict[str, Any]]]:
     """Render a fixed-size batch of rays (reference: run_nerf.py:414-549).
 
@@ -82,6 +88,41 @@ def render_rays(
         k_strat, k_pdf, k_noise0, k_noise1 = jax.random.split(key, 4)
     else:
         k_strat = k_pdf = k_noise0 = k_noise1 = None
+
+    if config.occupancy is not None and occ_state is not None:
+        # Occupancy-guided single pass: the grid CDF is the free coarse pass.
+        occ_step = step if step is not None else jnp.asarray(1 << 30, jnp.int32)
+        occ_key = k_strat if k_strat is not None else jax.random.PRNGKey(0)
+        z_vals = occupancy_z_vals(
+            occ_key, rays_o, rays_d, near, far, occ_state, config.occupancy,
+            config.n_occ_samples, occ_step, perturb=config.perturb,
+        )
+        pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
+        mlp_name = "fine" if "fine" in params else "coarse"
+        raw, quant_state = query_field(
+            params, mlp_name, pts, viewdirs, fc, quant_state, train, step
+        )
+        out = raw2outputs(
+            raw, z_vals, rays_d,
+            raw_noise_std=config.raw_noise_std,
+            white_bkgd=config.white_bkgd,
+            noise_key=k_noise0,
+            predict_normals=fc.predict_normals,
+        )
+        ret = {
+            "rgb_map": out["rgb_map"],
+            "depth_map": out["depth_map"],
+            "acc_map": out["acc_map"],
+            "disp_map": out["disp_map"],
+            "sparsity_loss": out["sparsity_loss"],
+            "pts": pts,
+            "rays_d": rays_d,
+        }
+        if fc.predict_normals:
+            ret["normal_map"] = out["normal_map"]
+        if retraw:
+            ret["raw"] = raw
+        return ret, quant_state
 
     z_vals = stratified_z_vals(
         k_strat, near, far, config.n_samples,
@@ -186,6 +227,7 @@ def _render_image_jit(
     W: int,
     tile_rays: int,
     quant_state: Optional[Dict[str, Any]] = None,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     rays_o, rays_d = get_rays(H, W, K, c2w)
     focal = K[0][0]
@@ -213,6 +255,7 @@ def _render_image_jit(
         out, _ = render_rays(
             None, params, ro, rd, vd, nr, fr,
             config.test_mode(), quant_state=quant_state, train=False, step=None,
+            occ_state=occ_state,
         )
         return {
             "rgb_map": out["rgb_map"],
@@ -232,11 +275,11 @@ def _render_image_jit(
 
 
 def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 16384):
-    """A jitted full-image renderer: (params, c2w, K, near, far[, quant_state])
-    -> maps dict. Equivalent of render(c2w=...) + batchify_rays
+    """A jitted full-image renderer: (params, c2w, K, near, far[, quant_state,
+    occ_state]) -> maps dict. Equivalent of render(c2w=...) + batchify_rays
     (reference: run_nerf.py:86-151) with lax.map tiling."""
 
-    def render_fn(params, c2w, K, near, far, quant_state=None):
+    def render_fn(params, c2w, K, near, far, quant_state=None, occ_state=None):
         return _render_image_jit(
             params,
             jnp.asarray(c2w, jnp.float32),
@@ -248,6 +291,7 @@ def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 1
             W,
             tile_rays,
             quant_state,
+            occ_state,
         )
 
     return render_fn
@@ -264,9 +308,10 @@ def render_image(
     config: RenderConfig,
     quant_state: Optional[Dict[str, Any]] = None,
     tile_rays: int = 16384,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
 ) -> Dict[str, np.ndarray]:
     """Convenience single-image render; see make_image_renderer."""
     out = make_image_renderer(config, H, W, tile_rays)(
-        params, c2w, K, near, far, quant_state
+        params, c2w, K, near, far, quant_state, occ_state
     )
     return {k: np.asarray(v) for k, v in out.items()}

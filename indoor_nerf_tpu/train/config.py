@@ -119,6 +119,14 @@ def build_parser() -> argparse.ArgumentParser:
     add("--acaq_start_iter", type=int, default=1000)
 
     # TPU-framework extensions (not in the reference)
+    add("--use_occupancy", action="store_true",
+        help="occupancy-grid guided sampling (NerfAcc-style): replaces the "
+             "coarse+fine hierarchy with one pass over occupied space")
+    add("--occ_resolution", type=int, default=64)
+    add("--occ_samples", type=int, default=64,
+        help="network samples per ray in occupancy mode")
+    add("--occ_candidates", type=int, default=128)
+    add("--occ_update_interval", type=int, default=16)
     add("--n_iters", type=int, default=8000,
         help="training iterations (reference hard-codes 8000, run_nerf.py:923)")
     add("--mesh_shape", type=str, default=None,

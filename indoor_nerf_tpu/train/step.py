@@ -27,7 +27,8 @@ from indoor_nerf_tpu.losses.quantization import (
     acaq_controller_update,
     init_quant_state,
 )
-from indoor_nerf_tpu.models.field import init_field_params
+from indoor_nerf_tpu.models.field import init_field_params, sigma_query
+from indoor_nerf_tpu.ops.occupancy import init_occupancy, occupancy_update
 from indoor_nerf_tpu.ops.tv import total_variation_loss
 from indoor_nerf_tpu.render.renderer import RenderConfig, render_rays
 from indoor_nerf_tpu.train.optim import (
@@ -84,6 +85,10 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         state["quant"] = init_quant_state(qc)
     else:
         state["quant"] = None
+    if config.render.occupancy is not None:
+        state["occ"] = init_occupancy(config.render.occupancy)
+    else:
+        state["occ"] = None
     return state
 
 
@@ -122,7 +127,7 @@ def train_step(
     rc = config.render
     fc = rc.field
     step = state["step"]
-    k_render, k_tv, k_priors = jax.random.split(key, 3)
+    k_render, k_tv, k_priors, k_occ = jax.random.split(key, 4)
 
     rays_o = batch["rays_o"]
     rays_d = batch["rays_d"]
@@ -139,6 +144,7 @@ def train_step(
         out, new_quant = render_rays(
             k_render, params, rays_o, rays_d, viewdirs, near, far, rc,
             quant_state=quant_state, train=True, step=step,
+            occ_state=state["occ"],
         )
         img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
         loss = img_loss
@@ -234,10 +240,28 @@ def train_step(
             active, run_controller, lambda q, b: (q, b), new_quant, new_best
         )
 
+    # Occupancy-grid EMA refresh (reads the UPDATED field, no gradients).
+    new_occ = state["occ"]
+    if rc.occupancy is not None:
+        oc = rc.occupancy
+        mlp_name = "fine" if "fine" in new_params else "coarse"
+
+        def refresh(occ):
+            return occupancy_update(
+                k_occ, occ,
+                lambda pts: sigma_query(new_params, mlp_name, pts, fc),
+                oc,
+            )
+
+        new_occ = jax.lax.cond(
+            step % oc.update_interval == 0, refresh, lambda o: o, new_occ
+        )
+
     new_state: TrainState = {
         "params": new_params,
         "opt": new_opt,
         "quant": new_quant,
+        "occ": new_occ,
         "step": step + 1,
         "best_loss": jnp.minimum(new_best, aux["img_loss"]),
     }

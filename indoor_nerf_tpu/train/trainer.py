@@ -130,6 +130,19 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         use_quantization=args.use_quantization,
         quant=quant,
     )
+    occupancy = None
+    if getattr(args, "use_occupancy", False):
+        if scene.bounding_box is None:
+            raise ValueError("--use_occupancy needs a scene bounding box")
+        from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+
+        occupancy = OccupancyConfig(
+            bbox_min=scene.bounding_box[0],
+            bbox_max=scene.bounding_box[1],
+            resolution=args.occ_resolution,
+            update_interval=args.occ_update_interval,
+            n_candidates=args.occ_candidates,
+        )
     render = RenderConfig(
         field=field,
         n_samples=args.N_samples,
@@ -139,6 +152,8 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         white_bkgd=args.white_bkgd,
         raw_noise_std=args.raw_noise_std,
         ndc=scene.ndc and not args.no_ndc,
+        occupancy=occupancy,
+        n_occ_samples=getattr(args, "occ_samples", 64),
     )
     return TrainConfig(
         render=render,
@@ -219,6 +234,7 @@ def train(args) -> Dict:
             render_poses, scene.hwf, K, test_config, state["params"],
             scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
             render_factor=args.render_factor, quant_state=state["quant"],
+            occ_state=state.get("occ"),
         )
         print("Done rendering", testsavedir)
         write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
@@ -396,7 +412,8 @@ def train(args) -> Dict:
             rgbs, disps, _ = render_path(
                 scene.render_poses, scene.hwf, K, test_config,
                 state["params"], scene.near, scene.far,
-                quant_state=state["quant"], save_figures=False,
+                quant_state=state["quant"], occ_state=state.get("occ"),
+                save_figures=False,
             )
             print("Done, saving", rgbs.shape, disps.shape)
             moviebase = os.path.join(
@@ -413,7 +430,7 @@ def train(args) -> Dict:
                 scene.poses[scene.i_test], scene.hwf, K, test_config,
                 state["params"], scene.near, scene.far,
                 gt_imgs=scene.images[scene.i_test], savedir=testsavedir,
-                quant_state=state["quant"],
+                quant_state=state["quant"], occ_state=state.get("occ"),
             )
             print("Saved test set")
             if psnrs:
