@@ -47,25 +47,56 @@ def replicate_state(state: Any, mesh: Mesh) -> Any:
     return jax.device_put(state, sharding)
 
 
+def state_shardings(state: Any, mesh: Mesh,
+                    model_axis: Optional[str] = None) -> Any:
+    """Sharding pytree for the train state: everything replicated except —
+    when a model axis is given — the hash table and its optimizer moments,
+    which shard their leading (level-block) dimension over ``model_axis``
+    (the tensor-parallel layout of parallel/tp.py)."""
+    repl = NamedSharding(mesh, P())
+    if model_axis is None:
+        return jax.tree_util.tree_map(lambda _: repl, state)
+    table_sh = NamedSharding(mesh, P(model_axis, None))
+
+    def leaf_sharding(path, leaf):
+        keys = [getattr(p, "key", getattr(p, "idx", None)) for p in path]
+        if "table" in keys:
+            return table_sh
+        return repl
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, state)
+
+
 def make_sharded_train_step(
-    config: TrainConfig, mesh: Mesh, data_axis: str = "data", donate: bool = True
+    config: TrainConfig,
+    mesh: Mesh,
+    data_axis: str = "data",
+    model_axis: Optional[str] = None,
+    donate: bool = True,
+    state_template: Any = None,
 ):
-    """Jit the train step with DP shardings.
+    """Jit the train step with mesh shardings.
 
     Batch arrays are sharded on their leading (ray) axis over ``data_axis``;
-    state and rng are replicated. The returned function has the same
-    signature as train_step minus config: (state, batch, key[, prior_weights])
-    -> (state, metrics).
+    state and rng are replicated, except the hash table (+ its RAdam
+    moments), which shards over ``model_axis`` when given — XLA SPMD then
+    keeps table gathers/scatter-adds distributed and inserts the activation
+    collectives. The returned function has the train_step signature minus
+    config: (state, batch, key[, prior_weights]) -> (state, metrics).
     """
     repl = NamedSharding(mesh, P())
     batch_sh = NamedSharding(mesh, P(data_axis))
+    if model_axis is None or state_template is None:
+        state_sh: Any = repl
+    else:
+        state_sh = state_shardings(state_template, mesh, model_axis)
 
     def step(state, batch, key, prior_weights):
         return train_step(state, batch, key, config, prior_weights)
 
     jit_kwargs: Dict[str, Any] = dict(
-        in_shardings=(repl, batch_sh, repl, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_sh, batch_sh, repl, repl),
+        out_shardings=(state_sh, repl),
     )
     if donate:
         jit_kwargs["donate_argnums"] = (0,)
