@@ -14,9 +14,12 @@ So this encoder stores the vertex grid in HALO'D BLOCKS: one table row holds
 a 5x5x5 = 125-vertex tile (4^3 voxels plus +1 halos) x F features packed in
 F x 128 lanes. Any voxel's 8 corners live in ONE row, so encoding costs ONE
 wide-row gather per (point, level) — 8x fewer gathers and each moves useful
-wide data — followed by a Pallas in-row corner selection and the standard
-trilinear interpolation. Net effect: the gather bottleneck drops ~15x vs the
-faithful NGP layout (ops/encoding.py), which remains the parity path.
+wide data. Interpolation then needs no dynamic corner select at all: the
+trilinear weights are the product of per-axis tent functions, which vanish
+everywhere except the 8 bracketing vertices, so interpolation over the WHOLE
+tile — three tiny batched contractions XLA fuses with the gather — is
+exactly trilinear. Net effect: the gather bottleneck drops ~order of
+magnitude vs the faithful NGP layout (ops/encoding.py), the parity path.
 
 Trade-off (documented): halo vertices are stored PER BLOCK (a vertex on a
 block face has an independent parameter in each adjacent block), so the
@@ -42,7 +45,6 @@ import numpy as np
 
 from indoor_nerf_tpu.ops.encoding import level_resolutions, HashGridConfig
 from indoor_nerf_tpu.ops.hashing import BOX_OFFSETS
-from indoor_nerf_tpu.ops.pallas.lane_gather import lane_select
 
 BLOCK = 4  # voxels per block edge; 5^3 = 125 vertices <= 128 lanes
 SIDE = BLOCK + 1
@@ -153,23 +155,25 @@ def block_hash_encode(
     # ONE wide gather per (point, level): [N*L, F*128].
     rows = jnp.take(table, flat_row, axis=0)
 
-    # Corner lane indices: local0 + corner offsets, linearized in the 5^3 tile.
-    corners = local0[:, :, None, :] + jnp.asarray(BOX_OFFSETS)[None, None, :, :]
-    lanes = (
-        corners[..., 0] * (SIDE * SIDE) + corners[..., 1] * SIDE + corners[..., 2]
-    ).astype(jnp.int32)  # [N, L, 8]
-    lanes_flat = lanes.reshape(n * L, 8)
+    # Trilinear interpolation as an exact TENT-PRODUCT CONTRACTION over the
+    # whole 5^3 tile: the per-axis hat function tent(t) = max(0, 1 - |t|)
+    # evaluated at every tile vertex is zero except at the two vertices
+    # bracketing the point, and their weights are exactly (1-w), w — so
+    #   feat[f] = sum_{xyz} tile[f,x,y,z] * tx[x] * ty[y] * tz[z]
+    # IS trilinear interpolation, expressed as three tiny batched
+    # contractions (pure MXU/VPU work that XLA fuses with the row gather)
+    # instead of an 8-way dynamic corner select.
+    p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
+    grid_pos = jnp.arange(SIDE, dtype=jnp.float32)  # [5]
+    tents = jnp.maximum(
+        0.0, 1.0 - jnp.abs(grid_pos[None, None, :] - p[:, :, None])
+    )  # [N*L, 3, 5]
 
-    # In-row corner selection per feature (Pallas dynamic_gather on TPU).
-    feats = []
-    for f in range(F):
-        vals = jax.lax.dynamic_slice_in_dim(rows, f * LANES, LANES, axis=1)
-        feats.append(lane_select(vals, lanes_flat, 8))  # [N*L, 8]
-    corner_feats = jnp.stack(feats, axis=-1)  # [N*L, 8, F]
-
-    # Trilinear interpolation (same product-weight form as ops/encoding.py).
-    bits = jnp.asarray(BOX_OFFSETS, jnp.float32)  # [8, 3]
-    wf = w.reshape(n * L, 1, 3)
-    cw = jnp.prod(bits[None] * wf + (1.0 - bits[None]) * (1.0 - wf), axis=-1)
-    out = jnp.sum(cw[..., None] * corner_feats, axis=-2)  # [N*L, F]
+    tiles = rows.reshape(n * L, F, LANES)[:, :, : SIDE**3]
+    tiles = tiles.reshape(n * L, F, SIDE, SIDE, SIDE)
+    out = jnp.einsum(
+        "nfxyz,nx,ny,nz->nf",
+        tiles, tents[:, 0], tents[:, 1], tents[:, 2],
+        preferred_element_type=jnp.float32,
+    )
     return out.reshape(n, L * F), keep_mask
