@@ -1,0 +1,115 @@
+"""Property tests for A-CAQ quantization, mirroring the reference's manual
+debug harness (reference: PocketNeRF/debug.py:6-142) as real assertions:
+hash-embedding-scale inputs, unique-value counts vs 2^bits, error
+magnitudes, calibration and controller dynamics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indoor_nerf_tpu.losses.quantization import (
+    QuantConfig,
+    acaq_controller_update,
+    average_bits,
+    calibrate,
+    fake_quant_fixed,
+    init_quant_state,
+    learned_fake_quant,
+)
+
+CFG = QuantConfig(n_embed_levels=4, n_act_quantizers=1)
+
+
+def _calibrated_group(x, symmetric):
+    state = init_quant_state(CFG)
+    group = state["weight"] if symmetric else {
+        k: v[0] for k, v in state["act"].items()
+    }
+    return calibrate(group, x, symmetric=symmetric)
+
+
+def test_fixed_quant_roundtrip_and_ste(rng):
+    x = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    scale = jnp.asarray(np.abs(np.asarray(x)).max() / 127.0)
+    q = fake_quant_fixed(x, scale, jnp.zeros(()), num_bits=8, train=False)
+    # error bounded by half a quantization step
+    assert float(jnp.max(jnp.abs(q - x))) <= float(scale) * 0.51
+    # STE: gradient of sum(quantized) wrt x is exactly 1
+    g = jax.grad(lambda x: jnp.sum(
+        fake_quant_fixed(x, scale, jnp.zeros(()), 8, train=True)))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_learned_quant_small_scale_inputs(rng):
+    """debug.py's core check: quantizing hash-embedding-scale (~1e-4) values
+    must preserve them (small relative error), not zero them out."""
+    x = jnp.asarray(rng.uniform(-1e-4, 1e-4, size=(4096,)).astype(np.float32))
+    group = _calibrated_group(x, symmetric=False)
+    q = learned_fake_quant(x, group, CFG, symmetric=False, train=False)
+    err = float(jnp.max(jnp.abs(q - x)))
+    # 8-bit quantization of a 2e-4 range: step ~ 7.8e-7
+    assert err < 2e-6, err
+
+
+def test_learned_quant_unique_values_bounded(rng):
+    """Eval-mode quantization at B bits yields at most 2^B distinct values
+    (debug.py:90-137 checks)."""
+    x = jnp.asarray(rng.uniform(-1e-4, 1e-4, size=(8192,)).astype(np.float32))
+    for bits in (2.0, 4.0, 8.0):
+        group = _calibrated_group(x, symmetric=False)
+        group = dict(group, soft_bits=jnp.asarray(bits))
+        q = learned_fake_quant(x, group, CFG, symmetric=False, train=False)
+        uniq = len(np.unique(np.asarray(q)))
+        assert uniq <= 2**int(bits), (bits, uniq)
+        assert uniq > 2 ** (int(bits) - 1) * 0.5  # actually uses the range
+
+
+def test_learned_quant_ste_gradient(rng):
+    x = jnp.asarray(rng.uniform(-1e-4, 1e-4, size=(512,)).astype(np.float32))
+    group = _calibrated_group(x, symmetric=False)
+    g = jax.grad(lambda x: jnp.sum(
+        learned_fake_quant(x, group, CFG, symmetric=False, train=True)))(x)
+    np.testing.assert_allclose(np.asarray(g), 1.0)
+
+
+def test_calibration_one_shot():
+    state = init_quant_state(CFG)
+    g1 = calibrate(state["weight"], jnp.asarray([-2.0, 3.0]), symmetric=True)
+    assert float(g1["range_scale"]) == 6.0  # 2 * max_abs
+    assert bool(g1["calibrated"])
+    # second call with a wider batch must be a no-op (reference flag)
+    g2 = calibrate(g1, jnp.asarray([-10.0, 10.0]), symmetric=True)
+    assert float(g2["range_scale"]) == 6.0
+
+
+def test_acaq_controller_dynamics():
+    state = init_quant_state(CFG)
+    # Better than target -> bits decrease everywhere.
+    new_state, best, target = acaq_controller_update(
+        state, jnp.asarray(0.5), jnp.asarray(1.0), CFG
+    )
+    assert float(best) == 0.5
+    assert float(average_bits(new_state, CFG)) < float(average_bits(state, CFG))
+    # Much worse than target -> bits increase.
+    worse, _, _ = acaq_controller_update(
+        state, jnp.asarray(10.0), jnp.asarray(1.0),
+        QuantConfig(n_embed_levels=4, n_act_quantizers=1, target_metric=1.0),
+    )
+    assert float(average_bits(worse, CFG)) > float(average_bits(state, CFG))
+    # Bits always clamped to [min_bits, max_bits].
+    s = state
+    for _ in range(200):
+        s, _, _ = acaq_controller_update(s, jnp.asarray(0.01), jnp.asarray(1.0), CFG)
+    bits = np.asarray(s["embed"]["soft_bits"])
+    assert bits.min() >= CFG.min_bits - 1e-6
+
+
+def test_layer_factor_varies_deltas():
+    """The controller's layer factor makes per-quantizer deltas differ
+    (reference: run_nerf.py:1244-1246)."""
+    state = init_quant_state(CFG)
+    new_state, _, _ = acaq_controller_update(
+        state, jnp.asarray(0.5), jnp.asarray(1.0), CFG
+    )
+    deltas = np.asarray(new_state["embed"]["soft_bits"]) - 8.0
+    assert len(np.unique(np.round(deltas, 6))) > 1
