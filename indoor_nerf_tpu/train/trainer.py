@@ -247,13 +247,29 @@ def train(args) -> Dict:
     state = replicate_state(state, mesh)
     step_fn = make_sharded_train_step(cfg, mesh)
 
-    # Ray samplers (reference: run_nerf.py:899-1004).
+    # Ray samplers (reference: run_nerf.py:899-1004). In batched mode the
+    # hot path is served by the native C++ double-buffered batcher when the
+    # toolchain allows, with the numpy sampler as fallback.
     use_batching = not args.no_batching
     if use_batching:
         sampler = BatchedRaySampler(
             scene.images, scene.poses, scene.i_train, H, W, K,
             args.N_rand, seed=args.seed,
         )
+        try:
+            from indoor_nerf_tpu.native.batcher import (
+                NativeRayBatcher,
+                native_available,
+            )
+
+            if native_available():
+                native = NativeRayBatcher(
+                    sampler.rays_rgb, args.N_rand, seed=args.seed
+                )
+                sampler = native
+                print("[data] native C++ ray batcher active")
+        except Exception as e:  # pragma: no cover
+            print(f"[data] native batcher unavailable ({e}); using numpy")
         sample = lambda i: sampler.next()
     else:
         sampler = ImageRaySampler(
