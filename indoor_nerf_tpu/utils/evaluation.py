@@ -104,6 +104,26 @@ class LpipsScorer:
             return float(self._model(prep(img), prep(gt)).item())
 
 
+def device_memory_stats() -> Dict[str, float]:
+    """Per-device memory usage in MB (TPU equivalent of the reference's
+    torch.cuda memory tracking, evaluation_utils.py:85-92)."""
+    import jax
+
+    stats = {}
+    for d in jax.local_devices():
+        try:
+            s = d.memory_stats()
+        except Exception:
+            continue
+        if s:
+            stats[str(d)] = {
+                "bytes_in_use_mb": s.get("bytes_in_use", 0) / 2**20,
+                "peak_bytes_mb": s.get("peak_bytes_in_use", 0) / 2**20,
+                "bytes_limit_mb": s.get("bytes_limit", 0) / 2**20,
+            }
+    return stats
+
+
 class ComprehensiveEvaluator:
     """Test-set sweep with mean/std per metric
     (reference: evaluation_utils.py:11-92)."""
@@ -113,6 +133,9 @@ class ComprehensiveEvaluator:
         if not self.lpips.available:
             print("[eval] LPIPS unavailable (no pretrained weights); "
                   "reporting PSNR/SSIM only")
+
+    def memory_stats(self) -> Dict[str, float]:
+        return device_memory_stats()
 
     def evaluate_image(self, img: np.ndarray, gt: np.ndarray) -> Dict:
         out = {"psnr": psnr(img, gt), "ssim": ssim(img, gt)}
