@@ -83,6 +83,9 @@ class FieldConfig:
     # quantization
     use_quantization: bool = False
     quant: QuantConfig = QuantConfig()
+    # MLP compute precision: "float32" or "bfloat16" (params stay f32
+    # masters; matmuls cast inputs/weights with f32 accumulation)
+    compute_dtype: str = "float32"
 
     @property
     def input_ch(self) -> int:
@@ -370,6 +373,9 @@ def query_field(
             predict_normals=config.predict_normals,
             weight_quant=weight_quant,
             act_quants=act_quants,
+            compute_dtype=(
+                jnp.bfloat16 if config.compute_dtype == "bfloat16" else None
+            ),
         )
     else:
         raw = apply_nerf_big(

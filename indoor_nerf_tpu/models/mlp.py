@@ -44,9 +44,15 @@ def init_linear(
     return p
 
 
-def _linear(p: Params, x: jnp.ndarray, w_override: Optional[jnp.ndarray] = None
-            ) -> jnp.ndarray:
+def _linear(p: Params, x: jnp.ndarray, w_override: Optional[jnp.ndarray] = None,
+            compute_dtype: Optional[Any] = None) -> jnp.ndarray:
+    """Matmul with optional reduced compute precision: params stay float32
+    masters, inputs/weights cast to ``compute_dtype`` (e.g. bfloat16 for the
+    MXU's native path) with float32 accumulation."""
     w = p["w"] if w_override is None else w_override
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     y = jnp.dot(x, w, preferred_element_type=jnp.float32)
     if "b" in p:
         y = y + p["b"]
@@ -104,6 +110,7 @@ def apply_nerf_small(
     predict_normals: bool = False,
     weight_quant: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
     act_quants: Optional[Sequence[Callable[[jnp.ndarray], jnp.ndarray]]] = None,
+    compute_dtype: Optional[Any] = None,
 ) -> jnp.ndarray:
     """Forward NeRFSmall (reference: run_nerf_helpers.py:265-306).
 
@@ -123,9 +130,10 @@ def apply_nerf_small(
     h = input_pts
     for l, layer in enumerate(sigma_net):
         if l == 0 and weight_quant is not None:
-            h = _linear(layer, h, w_override=weight_quant(layer["w"]))
+            h = _linear(layer, h, w_override=weight_quant(layer["w"]),
+                        compute_dtype=compute_dtype)
         else:
-            h = _linear(layer, h)
+            h = _linear(layer, h, compute_dtype=compute_dtype)
         if l != len(sigma_net) - 1:
             h = jax.nn.relu(h)
             if act_quants is not None:
@@ -138,7 +146,7 @@ def apply_nerf_small(
     )
     color_net = params["color_net"]
     for l, layer in enumerate(color_net):
-        h = _linear(layer, h)
+        h = _linear(layer, h, compute_dtype=compute_dtype)
         if l != len(color_net) - 1:
             h = jax.nn.relu(h)
     color = h  # raw logits; sigmoid applied in raw2outputs

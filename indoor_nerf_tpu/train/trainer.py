@@ -129,6 +129,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         netwidth_fine=args.netwidth_fine,
         use_quantization=args.use_quantization,
         quant=quant,
+        compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
     )
     occupancy = None
     if getattr(args, "use_occupancy", False):

@@ -1,0 +1,135 @@
+"""Time-to-PSNR convergence benchmark (the north-star metric machinery).
+
+Trains the built-in synthetic scene (or any --config scene) and reports the
+reference's milestone metrics: time/iterations to {15,20,25,30,35} dB train
+PSNR, steps/sec and rays/sec (BASELINE.md machinery; reference
+run_nerf.py:1305-1327).
+
+Usage:
+  python scripts/bench_convergence.py [--iters 2000] [--i_embed 1|3]
+      [--use_occupancy] [--n_rand 4096] [--out metrics.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--n_rand", type=int, default=4096)
+    ap.add_argument("--i_embed", type=int, default=1)
+    ap.add_argument("--use_occupancy", action="store_true")
+    ap.add_argument("--n_samples", type=int, default=64)
+    ap.add_argument("--n_importance", type=int, default=128)
+    ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
+    from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+    from indoor_nerf_tpu.models.field import FieldConfig
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.ops.encoding import HashGridConfig
+    from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+    from indoor_nerf_tpu.parallel.shard import (
+        make_mesh, make_sharded_train_step, replicate_state,
+    )
+    from indoor_nerf_tpu.render.renderer import RenderConfig
+    from indoor_nerf_tpu.train.step import TrainConfig, init_train_state
+
+    scene = make_synthetic_scene(n_views=args.views, H=args.res, W=args.res)
+    grid = block_grid = None
+    if args.i_embed == 1:
+        grid = HashGridConfig(
+            bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+            n_levels=16, log2_hashmap_size=19,
+            base_resolution=16, finest_resolution=512,
+        )
+    else:
+        block_grid = BlockHashConfig(
+            bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+            n_levels=16, log2_rows=12,
+            base_resolution=16, finest_resolution=512,
+        )
+    occupancy = None
+    n_importance = args.n_importance
+    if args.use_occupancy:
+        occupancy = OccupancyConfig(
+            bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+            resolution=64,
+        )
+        n_importance = 0
+    fc = FieldConfig(grid=grid, block_grid=block_grid, i_embed=args.i_embed,
+                     n_importance=n_importance)
+    rc = RenderConfig(field=fc, n_samples=args.n_samples,
+                      n_importance=n_importance, white_bkgd=True,
+                      occupancy=occupancy)
+    cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
+                      n_rand=args.n_rand, lrate=0.01)
+
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], args.n_rand,
+    )
+    mesh = make_mesh()
+    state = replicate_state(init_train_state(jax.random.PRNGKey(0), cfg), mesh)
+    step_fn = make_sharded_train_step(cfg, mesh)
+
+    key = jax.random.PRNGKey(1)
+    batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+    state, metrics = step_fn(state, batch, key)  # compile
+    jax.block_until_ready(metrics["loss"])
+
+    milestones = {}
+    t0 = time.perf_counter()
+    pending = None
+    for i in range(1, args.iters + 1):
+        key, sub = jax.random.split(key)
+        batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+        state, metrics = step_fn(state, batch, sub)
+        if pending is not None:
+            pi, pm = pending
+            psnr = float(pm["psnr"])
+            for m in (15, 20, 25, 30, 35):
+                if psnr >= m and m not in milestones:
+                    milestones[m] = {
+                        "iter": pi, "seconds": time.perf_counter() - t0,
+                    }
+        pending = (i, metrics)
+    jax.block_until_ready(metrics["loss"])
+    total = time.perf_counter() - t0
+    final_psnr = float(metrics["psnr"])
+
+    result = {
+        "config": {
+            "i_embed": args.i_embed, "use_occupancy": args.use_occupancy,
+            "n_rand": args.n_rand, "n_samples": args.n_samples,
+            "n_importance": n_importance, "iters": args.iters,
+        },
+        "final_train_psnr_db": round(final_psnr, 2),
+        "steps_per_sec": round(args.iters / total, 2),
+        "rays_per_sec": round(args.iters * args.n_rand / total, 1),
+        "milestones": {
+            f"{m}db": {"iter": v["iter"], "seconds": round(v["seconds"], 2)}
+            for m, v in milestones.items()
+        },
+        "total_seconds": round(total, 2),
+    }
+    print(json.dumps(result, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
