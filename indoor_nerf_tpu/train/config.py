@@ -136,6 +136,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="activation precision on TPU")
     add("--use_pallas", action="store_true",
         help="use the fused Pallas hash-encode kernel where available")
+    add("--profile_dir", type=str, default=None,
+        help="capture a jax.profiler trace of the train loop into this dir")
+    add("--debug_nans", action="store_true",
+        help="enable jax_debug_nans (the reference's DEBUG NaN scan / "
+             "detect_anomaly analogue)")
     return parser
 
 

@@ -241,12 +241,39 @@ def train(args) -> Dict:
         write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
         return {}
 
-    # Mesh + sharded step.
-    mesh_axes = ("data",)
-    mesh = make_mesh(axis_names=mesh_axes)
+    # NaN debugging (TPU analogue of the reference's DEBUG NaN scan,
+    # run_nerf.py:545-547, and torch detect_anomaly, SURVEY.md §5.2).
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
+        print("[debug] jax_debug_nans enabled")
+
+    # Mesh + sharded step. --mesh_shape like 'data:4,model:2'; default all
+    # chips on the data axis.
+    model_axis = None
+    if getattr(args, "mesh_shape", None):
+        axes = []
+        sizes = []
+        for part in args.mesh_shape.split(","):
+            name, _, size = part.partition(":")
+            axes.append(name.strip())
+            sizes.append(int(size) if size else len(jax.devices()))
+        mesh = make_mesh(axis_names=tuple(axes), axis_sizes=tuple(sizes))
+        if "model" in axes and mesh.shape["model"] > 1:
+            model_axis = "model"
+    else:
+        mesh = make_mesh(axis_names=("data",))
     print(f"Device mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}")
-    state = replicate_state(state, mesh)
-    step_fn = make_sharded_train_step(cfg, mesh)
+    if model_axis is not None:
+        from indoor_nerf_tpu.parallel.shard import state_shardings
+
+        state = jax.device_put(
+            state, state_shardings(state, mesh, model_axis)
+        )
+    else:
+        state = replicate_state(state, mesh)
+    step_fn = make_sharded_train_step(
+        cfg, mesh, model_axis=model_axis, state_template=state
+    )
 
     # Ray samplers (reference: run_nerf.py:899-1004). In batched mode the
     # hot path is served by the native C++ double-buffered batcher when the
@@ -311,6 +338,15 @@ def train(args) -> Dict:
     time0 = time.time()
     pending = None  # (iteration, device metrics) — deferred one step
     iteration_start_time = time.time()
+
+    # Optional jax.profiler trace over the first ~200 post-compile steps
+    # (SURVEY.md §5.1: the TPU upgrade of the reference's wall-clock-only
+    # instrumentation).
+    profile_stop_iter = None
+    if getattr(args, "profile_dir", None):
+        jax.profiler.start_trace(args.profile_dir)
+        profile_stop_iter = start + 210
+        print(f"[profile] tracing to {args.profile_dir}")
 
     def process_metrics(i: int, metrics, quant_bits):
         nonlocal last_test_psnr, iteration_start_time
@@ -392,6 +428,12 @@ def train(args) -> Dict:
                   f"{args.structural_loss_ramp_iters} iters  "
                   f"time-to-activation={t_act/60:.1f} min")
             print("=" * 80 + "\n")
+
+        if profile_stop_iter is not None and i >= profile_stop_iter:
+            jax.block_until_ready(metrics["loss"])
+            jax.profiler.stop_trace()
+            print(f"[profile] trace written to {args.profile_dir}")
+            profile_stop_iter = None
 
         # Deferred metric processing: handle step i-1 while step i runs.
         if pending is not None:
