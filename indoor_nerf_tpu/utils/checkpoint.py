@@ -21,11 +21,18 @@ CKPT_SUFFIX = ".ckpt"
 
 
 def save_checkpoint(logdir: str, step: int, state: Dict[str, Any]) -> str:
+    """Atomic write (tmp + rename): a preemption mid-save can never leave a
+    truncated checkpoint to auto-resume from (SURVEY.md §5.3 — the reference
+    has no preemption story at all)."""
     os.makedirs(logdir, exist_ok=True)
     path = os.path.join(logdir, f"{step:06d}{CKPT_SUFFIX}")
     host_state = jax.device_get(state)
-    with open(path, "wb") as f:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
         f.write(serialization.to_bytes(host_state))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
     return path
 
 

@@ -1,0 +1,79 @@
+"""Full-image render throughput benchmark (the 800x800 FPS north-star row).
+
+Measures frames/sec of the tiled jitted renderer on a trained-or-random
+field at a given resolution, single-chip and (if >1 device) mesh-sharded.
+
+Usage: python scripts/bench_render.py [--res 800] [--i_embed 1|3]
+       [--n_samples 64] [--n_importance 128] [--frames 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--i_embed", type=int, default=1)
+    ap.add_argument("--n_samples", type=int, default=64)
+    ap.add_argument("--n_importance", type=int, default=128)
+    ap.add_argument("--frames", type=int, default=10)
+    ap.add_argument("--tile_rays", type=int, default=16384)
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import FieldConfig, init_field_params
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.ops.encoding import HashGridConfig
+    from indoor_nerf_tpu.render.renderer import RenderConfig, make_image_renderer
+
+    bb = ((-4.0, -4.0, -4.0), (4.0, 4.0, 4.0))
+    grid = block_grid = None
+    if args.i_embed == 1:
+        grid = HashGridConfig(bbox_min=bb[0], bbox_max=bb[1], n_levels=16,
+                              log2_hashmap_size=19, base_resolution=16,
+                              finest_resolution=512)
+    else:
+        block_grid = BlockHashConfig(bbox_min=bb[0], bbox_max=bb[1],
+                                     n_levels=16, log2_rows=12,
+                                     base_resolution=16, finest_resolution=512)
+    fc = FieldConfig(grid=grid, block_grid=block_grid, i_embed=args.i_embed,
+                     n_importance=args.n_importance)
+    rc = RenderConfig(field=fc, n_samples=args.n_samples,
+                      n_importance=args.n_importance, white_bkgd=True)
+    params = init_field_params(jax.random.PRNGKey(0), fc)
+
+    H = W = args.res
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+    render = make_image_renderer(rc, H, W, args.tile_rays)
+
+    c2w = np.eye(4, dtype=np.float32)[:3, :4]
+    c2w[2, 3] = 4.0
+    out = render(params, c2w, K, 2.0, 6.0)  # compile
+    jax.block_until_ready(out["rgb_map"])
+
+    t0 = time.perf_counter()
+    for i in range(args.frames):
+        out = render(params, c2w, K, 2.0, 6.0)
+    jax.block_until_ready(out["rgb_map"])
+    dt = time.perf_counter() - t0
+
+    fps = args.frames / dt
+    print(json.dumps({
+        "metric": f"render_fps_{args.res}x{args.res}",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "config": {"i_embed": args.i_embed, "n_samples": args.n_samples,
+                   "n_importance": args.n_importance},
+        "seconds_per_frame": round(dt / args.frames, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
