@@ -36,6 +36,7 @@ def render_path(
     savedir: Optional[str] = None,
     render_factor: int = 0,
     quant_state=None,
+    occ_state=None,
     tile_rays: int = 16384,
     save_figures: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray, List[float]]:
@@ -56,7 +57,8 @@ def render_path(
     for i, c2w in enumerate(render_poses):
         print(i, time.time() - t)
         t = time.time()
-        out = renderer(params, np.asarray(c2w[:3, :4]), K, near, far, quant_state)
+        out = renderer(params, np.asarray(c2w[:3, :4]), K, near, far,
+                       quant_state, occ_state)
         rgb = np.asarray(out["rgb_map"])
         depth = (np.asarray(out["depth_map"]) - near) / (far - near)
         rgbs.append(rgb)
