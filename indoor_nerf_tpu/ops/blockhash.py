@@ -169,11 +169,12 @@ def block_hash_encode(
         0.0, 1.0 - jnp.abs(grid_pos[None, None, :] - p[:, :, None])
     )  # [N*L, 3, 5]
 
+    # Explicit elementwise contraction (kept out of einsum so XLA lowers it
+    # as fused VPU multiply-reduces, not batched tiny matmuls): weight the
+    # z axis, reduce; then y; then x.
     tiles = rows.reshape(n * L, F, LANES)[:, :, : SIDE**3]
     tiles = tiles.reshape(n * L, F, SIDE, SIDE, SIDE)
-    out = jnp.einsum(
-        "nfxyz,nx,ny,nz->nf",
-        tiles, tents[:, 0], tents[:, 1], tents[:, 2],
-        preferred_element_type=jnp.float32,
-    )
-    return out.reshape(n, L * F), keep_mask
+    acc = jnp.sum(tiles * tents[:, 2][:, None, None, None, :], axis=-1)
+    acc = jnp.sum(acc * tents[:, 1][:, None, None, :], axis=-1)
+    acc = jnp.sum(acc * tents[:, 0][:, None, :], axis=-1)  # [N*L, F]
+    return acc.reshape(n, L * F), keep_mask
