@@ -279,10 +279,13 @@ def train(args) -> Dict:
     # hot path is served by the native C++ double-buffered batcher when the
     # toolchain allows, with the numpy sampler as fallback.
     use_batching = not args.no_batching
+    # Per-host sampling: on a multi-host pod each host draws an independent
+    # ray stream for its local devices (SURVEY.md §2 parallelism item 4).
+    host_seed = args.seed + 7919 * jax.process_index()
     if use_batching:
         sampler = BatchedRaySampler(
             scene.images, scene.poses, scene.i_train, H, W, K,
-            args.N_rand, seed=args.seed,
+            args.N_rand, seed=host_seed,
         )
         try:
             from indoor_nerf_tpu.native.batcher import (
@@ -292,7 +295,7 @@ def train(args) -> Dict:
 
             if native_available():
                 native = NativeRayBatcher(
-                    sampler.rays_rgb, args.N_rand, seed=args.seed
+                    sampler.rays_rgb, args.N_rand, seed=host_seed
                 )
                 sampler = native
                 print("[data] native C++ ray batcher active")
@@ -303,7 +306,7 @@ def train(args) -> Dict:
         sampler = ImageRaySampler(
             scene.images, scene.poses, scene.i_train, H, W, K, args.N_rand,
             precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
-            seed=args.seed,
+            seed=host_seed,
         )
         sample = sampler.next
 
@@ -355,6 +358,15 @@ def train(args) -> Dict:
         psnr = float(m["psnr"])
         lr = float(m["lr"])
         now = time.time()
+
+        # NaN watchdog (SURVEY.md §5.3: the reference swallows failures; we
+        # fail fast with context so auto-resume restarts from a good ckpt).
+        if not np.isfinite(loss):
+            path = save_checkpoint(logdir, i, state)
+            raise FloatingPointError(
+                f"non-finite loss {loss} at iteration {i}; state saved to "
+                f"{path}. Re-run with --debug_nans to locate the op."
+            )
 
         metrics_logger.log_iteration(
             iteration=i, time_elapsed=now - time0, loss=loss, psnr=psnr,

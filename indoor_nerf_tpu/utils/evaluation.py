@@ -144,6 +144,38 @@ class ComprehensiveEvaluator:
             out["lpips"] = lp
         return out
 
+    def comparison_figure(self, gt: np.ndarray, baseline: np.ndarray,
+                          method: np.ndarray, save_path: str,
+                          labels=("GT", "Baseline", "Method")):
+        """Side-by-side baseline-vs-method comparison with error maps
+        (reference: evaluation_utils.py:99-141)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        err_b = np.abs(baseline - gt).mean(-1)
+        err_m = np.abs(method - gt).mean(-1)
+        vmax = max(err_b.max(), err_m.max(), 1e-8)
+        fig, axes = plt.subplots(2, 3, figsize=(15, 8))
+        for ax, img, title in zip(
+            axes[0], (gt, baseline, method), labels
+        ):
+            ax.imshow(np.clip(img, 0, 1))
+            ax.set_title(title)
+            ax.axis("off")
+        axes[1][0].axis("off")
+        for ax, err, src in zip(axes[1][1:], (err_b, err_m), labels[1:]):
+            im = ax.imshow(err, cmap="hot", vmin=0, vmax=vmax)
+            m = self.evaluate_image(
+                baseline if src == labels[1] else method, gt
+            )
+            ax.set_title(f"{src} error (PSNR {m['psnr']:.2f})")
+            ax.axis("off")
+        fig.colorbar(im, ax=axes[1][2], fraction=0.046)
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return save_path
+
     def evaluate_test_set(self, images: List[np.ndarray],
                           gts: List[np.ndarray]) -> Dict:
         per_image = [self.evaluate_image(i, g) for i, g in zip(images, gts)]
