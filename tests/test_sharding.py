@@ -82,6 +82,68 @@ def test_dp_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_dp_full_feature_step_matches_single_device():
+    """Priors + occupancy + quantization under DP: the global-view step must
+    be mesh-size invariant (masked means, k-means, grid refreshes and the
+    A-CAQ controller all reduce over the full batch)."""
+    from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+
+    scene = make_synthetic_scene(n_views=6, H=32, W=32)
+    n_rand = 256
+    grid = HashGridConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=4, log2_hashmap_size=12,
+        base_resolution=16, finest_resolution=64,
+    )
+    occ = OccupancyConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        resolution=16, update_interval=2, warmup_steps=0,
+    )
+    fc = FieldConfig(grid=grid, predict_normals=True, use_quantization=True)
+    rc = RenderConfig(field=fc, n_samples=16, white_bkgd=True,
+                      occupancy=occ, n_occ_samples=12)
+    cfg = TrainConfig(
+        render=rc, near=scene["near"], far=scene["far"], n_rand=n_rand,
+        tv_loss_weight=1e-6, tv_cutoff_iter=100,
+        use_structural_priors=True, structural_loss_start_iter=1,
+        structural_loss_ramp_iters=2, use_acaq=True, acaq_start_iter=1,
+        acaq_interval=2,
+    )
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], n_rand,
+    )
+    batches = [sampler.next() for _ in range(4)]
+
+    def run(mesh):
+        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        state = replicate_state(state, mesh)
+        step = make_sharded_train_step(cfg, mesh, donate=False)
+        key = jax.random.PRNGKey(1)
+        losses = []
+        for b in batches:
+            key, sub = jax.random.split(key)
+            state, metrics = step(
+                state, {k: jnp.asarray(v) for k, v in b.items()}, sub
+            )
+            losses.append(float(metrics["loss"]))
+        return state, losses
+
+    state1, losses1 = run(make_mesh(jax.devices()[:1]))
+    state8, losses8 = run(make_mesh(jax.devices()))
+    np.testing.assert_allclose(losses1, losses8, rtol=3e-4, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(state1["occ"]["density"]),
+        np.asarray(state8["occ"]["density"]), rtol=1e-4, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state1["quant"]["embed"]["soft_bits"]),
+        np.asarray(state8["quant"]["embed"]["soft_bits"]), rtol=1e-6,
+    )
+
+
+@pytest.mark.slow
 def test_dp_batch_actually_sharded():
     scene = make_synthetic_scene(n_views=4, H=16, W=16)
     cfg = _cfg(scene, 256)
