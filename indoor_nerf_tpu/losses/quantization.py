@@ -173,6 +173,15 @@ def learned_fake_quant(
     return x_dequant
 
 
+def passthrough_quant(x: jnp.ndarray) -> jnp.ndarray:
+    """No-op quantizer for A/B debugging (reference: quantization.py:197-208,
+    PassthroughQuantizer — bit_width reports 32)."""
+    return x
+
+
+PASSTHROUGH_BITS = 32.0
+
+
 def _flat_bits(state: QuantState) -> jnp.ndarray:
     """All soft bitwidths concatenated in the reference's controller order:
     16 embed levels, then act quantizers, then the weight quantizer

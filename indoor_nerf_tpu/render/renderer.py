@@ -228,12 +228,22 @@ def _render_image_jit(
     tile_rays: int,
     quant_state: Optional[Dict[str, Any]] = None,
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+    c2w_staticcam: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     rays_o, rays_d = get_rays(H, W, K, c2w)
+    if c2w_staticcam is not None:
+        # Visualize the view-direction effect: directions from ``c2w``,
+        # geometry rays from the static camera (reference: run_nerf.py:122-124).
+        vd_src = rays_d
+        rays_o, rays_d = get_rays(H, W, K, c2w_staticcam)
     focal = K[0][0]
     rays_o, rays_d, viewdirs, near_a, far_a = _prepare_rays(
         rays_o, rays_d, H, W, focal, near, far, config
     )
+    if c2w_staticcam is not None and viewdirs is not None:
+        viewdirs = (
+            vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
+        ).reshape(-1, 3)
 
     n = H * W
     n_pad = ((n + tile_rays - 1) // tile_rays) * tile_rays
@@ -279,7 +289,8 @@ def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 1
     occ_state]) -> maps dict. Equivalent of render(c2w=...) + batchify_rays
     (reference: run_nerf.py:86-151) with lax.map tiling."""
 
-    def render_fn(params, c2w, K, near, far, quant_state=None, occ_state=None):
+    def render_fn(params, c2w, K, near, far, quant_state=None, occ_state=None,
+                  c2w_staticcam=None):
         return _render_image_jit(
             params,
             jnp.asarray(c2w, jnp.float32),
@@ -292,6 +303,8 @@ def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 1
             tile_rays,
             quant_state,
             occ_state,
+            None if c2w_staticcam is None
+            else jnp.asarray(c2w_staticcam, jnp.float32),
         )
 
     return render_fn

@@ -447,6 +447,15 @@ def train(args) -> Dict:
             print(f"[profile] trace written to {args.profile_dir}")
             profile_stop_iter = None
 
+        # Countdown to structural-prior activation
+        # (reference: run_nerf.py:1150-1159).
+        if (args.use_structural_priors
+                and i < args.structural_loss_start_iter
+                and i % args.i_print == 0
+                and i > args.structural_loss_start_iter - 500):
+            remaining = args.structural_loss_start_iter - i
+            print(f"  📊 Structural priors activate in {remaining} iterations...")
+
         # Deferred metric processing: handle step i-1 while step i runs.
         if pending is not None:
             pi, pm = pending
