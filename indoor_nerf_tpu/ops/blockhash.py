@@ -163,18 +163,21 @@ def block_hash_encode(
     # IS trilinear interpolation, expressed as three tiny batched
     # contractions (pure MXU/VPU work that XLA fuses with the row gather)
     # instead of an 8-way dynamic corner select.
+    # Per-LANE tent weights, computed directly on [N*L, 128] grids so every
+    # intermediate keeps the TPU-native 128-lane trailing dimension (shapes
+    # with tiny trailing dims get tile-padded ~25-100x in physical memory —
+    # a [*, 5, 5] layout is catastrophic on TPU).
     p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
-    grid_pos = jnp.arange(SIDE, dtype=jnp.float32)  # [5]
-    tents = jnp.maximum(
-        0.0, 1.0 - jnp.abs(grid_pos[None, None, :] - p[:, :, None])
-    )  # [N*L, 3, 5]
+    lane = np.arange(LANES)
+    lane_x = jnp.asarray((lane // (SIDE * SIDE)).astype(np.float32))
+    lane_y = jnp.asarray(((lane // SIDE) % SIDE).astype(np.float32))
+    lane_z = jnp.asarray((lane % SIDE).astype(np.float32))
+    # Lanes >= 125 decode to x >= 5 -> tent weight 0 (dead padding masked).
+    tent = lambda g, q: jnp.maximum(0.0, 1.0 - jnp.abs(g[None, :] - q[:, None]))
+    w_lane = (
+        tent(lane_x, p[:, 0]) * tent(lane_y, p[:, 1]) * tent(lane_z, p[:, 2])
+    )  # [N*L, 128]
 
-    # Explicit elementwise contraction (kept out of einsum so XLA lowers it
-    # as fused VPU multiply-reduces, not batched tiny matmuls): weight the
-    # z axis, reduce; then y; then x.
-    tiles = rows.reshape(n * L, F, LANES)[:, :, : SIDE**3]
-    tiles = tiles.reshape(n * L, F, SIDE, SIDE, SIDE)
-    acc = jnp.sum(tiles * tents[:, 2][:, None, None, None, :], axis=-1)
-    acc = jnp.sum(acc * tents[:, 1][:, None, None, :], axis=-1)
-    acc = jnp.sum(acc * tents[:, 0][:, None, :], axis=-1)  # [N*L, F]
-    return acc.reshape(n, L * F), keep_mask
+    tiles = rows.reshape(n * L, F, LANES)
+    out = jnp.sum(tiles * w_lane[:, None, :], axis=-1)  # [N*L, F]
+    return out.reshape(n, L * F), keep_mask
