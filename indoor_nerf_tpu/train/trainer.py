@@ -221,6 +221,13 @@ def train(args) -> Dict:
     # Render-only short circuit (reference: run_nerf.py:876-894).
     if args.render_only:
         print("RENDER ONLY")
+        if start == 0:
+            print(
+                "⚠️  render_only found NO checkpoint in "
+                f"{logdir} — rendering from random init. The expname "
+                "mangling encodes hyperparameters (lr/decay/res/...); pass "
+                "the SAME flags as the training run, or use --ft_path."
+            )
         gt = scene.images[scene.i_test] if args.render_test else None
         render_poses = scene.render_poses
         testsavedir = os.path.join(
