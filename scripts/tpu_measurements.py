@@ -53,6 +53,8 @@ def probe_layout():
     import jax.numpy as jnp
 
     dev = jax.devices()[0]
+    if dev.memory_stats() is None:
+        return {"note": "memory_stats unavailable on this backend"}
 
     def live_mb():
         return dev.memory_stats()["bytes_in_use"] / 2**20
