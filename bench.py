@@ -76,20 +76,34 @@ def main():
     n_chips = len(jax.devices())
     mesh = make_mesh()
     state = replicate_state(init_train_state(jax.random.PRNGKey(0), cfg), mesh)
-    step = make_sharded_train_step(cfg, mesh)
 
-    key = jax.random.PRNGKey(1)
-    for _ in range(3):  # compile + occupancy warmup
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    # Time a DEVICE-SIDE scan of steps: per-call timing over the axon tunnel
+    # under-reports (completion can be signaled before remote execution
+    # drains), so the whole measured window is one compiled program.
+    from indoor_nerf_tpu.train.step import train_step
 
     n_steps = 30
+
+    @jax.jit
+    def run_steps(state, batch, key):
+        def body(carry, k):
+            st, _ = carry
+            st, metrics = train_step(st, batch, k, cfg)
+            return (st, metrics["loss"]), None
+
+        keys = jax.random.split(key, n_steps)
+        (st, loss), _ = jax.lax.scan(body, (state, jnp.zeros(())), keys)
+        return st, loss
+
+    # NOTE: timings are closed by float(loss) — an actual value transfer —
+    # because jax.block_until_ready can return early through the axon
+    # remote-TPU tunnel and silently under-report.
+    state, loss = run_steps(state, batch, jax.random.PRNGKey(1))  # compile
+    float(loss)
+
     t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, sub = jax.random.split(key)
-        state, metrics = step(state, batch, sub)
-    jax.block_until_ready(metrics["loss"])
+    state, loss = run_steps(state, batch, jax.random.PRNGKey(2))
+    float(loss)
     dt = time.perf_counter() - t0
 
     rays_per_sec_per_chip = n_rand * n_steps / dt / n_chips

@@ -37,12 +37,14 @@ def section(name):
 def _timed(fn, *args, iters=4):
     import jax
 
+    # Close timing with a real value transfer: block_until_ready can return
+    # early over the axon tunnel (see CLAUDE.md).
     r = fn(*args)
-    jax.block_until_ready(r)
+    jax.device_get(r)
     t0 = time.perf_counter()
     for _ in range(iters):
         r = fn(*args)
-    jax.block_until_ready(r)
+    jax.device_get(r)
     return (time.perf_counter() - t0) / iters * 1e3
 
 
@@ -202,12 +204,13 @@ def _bench_train(i_embed, use_occ, n_rand=1024, iters=8):
     step = jax.jit(functools.partial(train_step, config=cfg))
     key = jax.random.PRNGKey(1)
     state, m = step(state, batch, key)
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     t0 = time.perf_counter()
     for _ in range(iters):
         key, sub = jax.random.split(key)
         state, m = step(state, batch, sub)
-    jax.block_until_ready(m["loss"])
+    dt = None
+    float(m["loss"])
     dt = (time.perf_counter() - t0) / iters
     return {
         "n_rand": n_rand,
