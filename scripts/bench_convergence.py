@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--use_occupancy", action="store_true")
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--n_importance", type=int, default=128)
+    ap.add_argument("--occ_samples", type=int, default=64)
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--out", default=None)
@@ -72,7 +73,7 @@ def main():
                      n_importance=n_importance)
     rc = RenderConfig(field=fc, n_samples=args.n_samples,
                       n_importance=n_importance, white_bkgd=True,
-                      occupancy=occupancy)
+                      occupancy=occupancy, n_occ_samples=args.occ_samples)
     cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
                       n_rand=args.n_rand, lrate=0.01)
 
