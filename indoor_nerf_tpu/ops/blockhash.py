@@ -117,6 +117,52 @@ def _block_row_hash(block: jnp.ndarray, level: jnp.ndarray, log2_rows: int
     return out & jnp.uint32((1 << log2_rows) - 1)
 
 
+def block_tv_loss(
+    key: jax.Array, table: jnp.ndarray, config: BlockHashConfig,
+    rows_per_level: int = 256,
+) -> jnp.ndarray:
+    """Total-variation regularizer for the block-hash table.
+
+    Equivalent role to the hash-table TV loss (reference: loss.py:11-43):
+    penalizes squared differences between spatially adjacent vertices.
+    Within a tile, the +z/+y/+x neighbors of lane l are lanes l+1 / l+5 /
+    l+25, so the diffs are lane-rolls with static validity masks — pure
+    [rows, 128] elementwise work (no gathers, no tiny-dim arrays). A random
+    subset of rows per level is sampled each call, mirroring the
+    reference's random-cube subsampling.
+    """
+    L = config.n_levels
+    F = config.n_features_per_level
+    R = config.rows_per_level
+    m = min(rows_per_level, R)
+
+    lane = np.arange(LANES)
+    lx, ly, lz = lane // (SIDE * SIDE), (lane // SIDE) % SIDE, lane % SIDE
+    in_tile = (lx < SIDE).astype(np.float32) * (lane < SIDE**3)
+    mask_z = jnp.asarray(((lz < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
+    mask_y = jnp.asarray(((ly < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
+    mask_x = jnp.asarray(((lx < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
+
+    keys = jax.random.split(key, L)
+    total = jnp.zeros((), jnp.float32)
+    for level in range(L):
+        rows_idx = jax.random.randint(keys[level], (m,), 0, R) + level * R
+        rows = jnp.take(table, rows_idx, axis=0)  # [m, F*128]
+        x = rows.reshape(m * F, LANES)
+
+        def shifted(x, k):
+            return jnp.roll(x, -k, axis=1)
+
+        tv = (
+            jnp.sum(mask_z * (shifted(x, 1) - x) ** 2)
+            + jnp.sum(mask_y * (shifted(x, SIDE) - x) ** 2)
+            + jnp.sum(mask_x * (shifted(x, SIDE * SIDE) - x) ** 2)
+        )
+        # Normalize like the reference's /cube_size (per sampled extent).
+        total = total + tv / m
+    return total
+
+
 def block_hash_encode(
     x: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

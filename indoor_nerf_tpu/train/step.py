@@ -169,6 +169,15 @@ def train_step(
                 lambda: jnp.zeros(()),
             )
             loss = loss + config.tv_loss_weight * tv
+        elif fc.i_embed == 3 and config.tv_loss_weight > 0:
+            from indoor_nerf_tpu.ops.blockhash import block_tv_loss
+
+            tv = jax.lax.cond(
+                step <= config.tv_cutoff_iter,
+                lambda: block_tv_loss(k_tv, params["table"], fc.block_grid),
+                lambda: jnp.zeros(()),
+            )
+            loss = loss + config.tv_loss_weight * tv
 
         # Structural priors with activation + linear ramp
         # (reference: run_nerf.py:1043-1148).

@@ -21,8 +21,13 @@ def main():
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--n_importance", type=int, default=128)
     ap.add_argument("--frames", type=int, default=10)
-    ap.add_argument("--tile_rays", type=int, default=16384)
+    ap.add_argument("--tile_rays", type=int, default=None,
+                    help="default 16384 (exact) / 2048 (block: wide-row "
+                         "fetches are ~1KB per point-level, so big tiles "
+                         "OOM HBM)")
     args = ap.parse_args()
+    if args.tile_rays is None:
+        args.tile_rays = 16384 if args.i_embed == 1 else 2048
 
     import jax
     import numpy as np
