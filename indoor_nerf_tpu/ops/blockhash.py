@@ -209,21 +209,12 @@ def block_hash_encode(
     # IS trilinear interpolation, expressed as three tiny batched
     # contractions (pure MXU/VPU work that XLA fuses with the row gather)
     # instead of an 8-way dynamic corner select.
-    # Per-LANE tent weights, computed directly on [N*L, 128] grids so every
-    # intermediate keeps the TPU-native 128-lane trailing dimension (shapes
-    # with tiny trailing dims get tile-padded ~25-100x in physical memory —
-    # a [*, 5, 5] layout is catastrophic on TPU).
-    p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
-    lane = np.arange(LANES)
-    lane_x = jnp.asarray((lane // (SIDE * SIDE)).astype(np.float32))
-    lane_y = jnp.asarray(((lane // SIDE) % SIDE).astype(np.float32))
-    lane_z = jnp.asarray((lane % SIDE).astype(np.float32))
-    # Lanes >= 125 decode to x >= 5 -> tent weight 0 (dead padding masked).
-    tent = lambda g, q: jnp.maximum(0.0, 1.0 - jnp.abs(g[None, :] - q[:, None]))
-    w_lane = (
-        tent(lane_x, p[:, 0]) * tent(lane_y, p[:, 1]) * tent(lane_z, p[:, 2])
-    )  # [N*L, 128]
+    # Fused tent-product interpolation over the tile (Pallas kernel on TPU,
+    # identical jnp math elsewhere): one pass over the gathered rows, no
+    # [N*L, 128] weight intermediates in HBM. Lane coordinates decode the
+    # 5^3 tile; lanes >= 125 get zero tent weight (dead padding).
+    from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
 
-    tiles = rows.reshape(n * L, F, LANES)
-    out = jnp.sum(tiles * w_lane[:, None, :], axis=-1)  # [N*L, F]
+    p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
+    out = tile_interp(rows, p)  # [N*L, F]
     return out.reshape(n, L * F), keep_mask

@@ -60,13 +60,16 @@ def main():
 
     c2w = np.eye(4, dtype=np.float32)[:3, :4]
     c2w[2, 3] = 4.0
+    # Close timing with a real value reduction+transfer: block_until_ready
+    # can return early over the axon tunnel (see CLAUDE.md).
     out = render(params, c2w, K, 2.0, 6.0)  # compile
-    jax.block_until_ready(out["rgb_map"])
+    float(out["rgb_map"].sum())
 
     t0 = time.perf_counter()
+    s = 0.0
     for i in range(args.frames):
         out = render(params, c2w, K, 2.0, 6.0)
-    jax.block_until_ready(out["rgb_map"])
+        s += float(out["rgb_map"].sum())
     dt = time.perf_counter() - t0
 
     fps = args.frames / dt
