@@ -30,18 +30,24 @@ from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
 LANES = 128
 _CHUNK = 1024
 
-# Static lane -> tile coordinate decode (5x5x5 tile in 125 of 128 lanes).
+# 5x5x5 tile occupies 125 of the 128 lanes.
 _SIDE = 5
-_LX = (np.arange(LANES) // (_SIDE * _SIDE)).astype(np.float32)
-_LY = ((np.arange(LANES) // _SIDE) % _SIDE).astype(np.float32)
-_LZ = (np.arange(LANES) % _SIDE).astype(np.float32)
+
+
+def _lane_coords(n_rows: int):
+    """Lane -> tile coordinates as [n_rows, 128] f32, built from iota so the
+    same code works inside Pallas kernels (which cannot capture array
+    constants) and in the jnp fallback."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (n_rows, LANES), 1)
+    lx = (lane // (_SIDE * _SIDE)).astype(jnp.float32)
+    ly = ((lane // _SIDE) % _SIDE).astype(jnp.float32)
+    lz = (lane % _SIDE).astype(jnp.float32)
+    return lx, ly, lz
 
 
 def _w_lane(px, py, pz):
     """Tent-product weights [chunk, 128] from positions [chunk, 1]."""
-    lx = jnp.asarray(_LX)[None, :]
-    ly = jnp.asarray(_LY)[None, :]
-    lz = jnp.asarray(_LZ)[None, :]
+    lx, ly, lz = _lane_coords(px.shape[0])
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - px))
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - py))
     tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pz))
@@ -156,9 +162,7 @@ def _bwd(res, g):
     # is -sign(l - p) on the open support, with the product rule across axes.
     px, py, pz = p[:, 0:1], p[:, 1:2], p[:, 2:3]
     w, (tx, ty, tz) = _w_lane(px, py, pz)
-    lx = jnp.asarray(_LX)[None, :]
-    ly = jnp.asarray(_LY)[None, :]
-    lz = jnp.asarray(_LZ)[None, :]
+    lx, ly, lz = _lane_coords(p.shape[0])
     dtx = jnp.where(jnp.abs(lx - px) < 1.0, jnp.sign(lx - px), 0.0)
     dty = jnp.where(jnp.abs(ly - py) < 1.0, jnp.sign(ly - py), 0.0)
     dtz = jnp.where(jnp.abs(lz - pz) < 1.0, jnp.sign(lz - pz), 0.0)
