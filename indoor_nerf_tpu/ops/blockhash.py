@@ -47,6 +47,7 @@ from indoor_nerf_tpu.ops.encoding import level_resolutions, HashGridConfig
 from indoor_nerf_tpu.ops.hashing import BOX_OFFSETS
 
 BLOCK = 4  # voxels per block edge; 5^3 = 125 vertices <= 128 lanes
+USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
 SIDE = BLOCK + 1
 LANES = 128
 
@@ -209,12 +210,19 @@ def block_hash_encode(
     # IS trilinear interpolation, expressed as three tiny batched
     # contractions (pure MXU/VPU work that XLA fuses with the row gather)
     # instead of an 8-way dynamic corner select.
-    # Fused tent-product interpolation over the tile (Pallas kernel on TPU,
-    # identical jnp math elsewhere): one pass over the gathered rows, no
-    # [N*L, 128] weight intermediates in HBM. Lane coordinates decode the
-    # 5^3 tile; lanes >= 125 get zero tent weight (dead padding).
-    from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
-
+    # Tent-product interpolation over the tile. Lane coordinates decode the
+    # 5^3 tile; lanes >= 125 get zero tent weight (dead padding). Default is
+    # the pure-XLA form (measured FASTER end-to-end than the Pallas
+    # tile_interp kernel: the custom-VJP boundary blocks XLA from fusing the
+    # weight math into the gather/scatter — see BENCH_NOTES.md); flip
+    # USE_TILE_INTERP_KERNEL to re-evaluate on new hardware/compilers.
     p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
-    out = tile_interp(rows, p)  # [N*L, F]
+    if USE_TILE_INTERP_KERNEL:
+        from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
+
+        out = tile_interp(rows, p)  # [N*L, F]
+    else:
+        from indoor_nerf_tpu.ops.pallas.tile_interp import _reference_interp
+
+        out = _reference_interp(rows, p)
     return out.reshape(n, L * F), keep_mask
