@@ -248,6 +248,14 @@ def train(args) -> Dict:
         write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
         return {}
 
+    # Opt-in Pallas tile-interp kernel for the block-hash path (measured
+    # slower than the XLA form on v5e — kept for A/B on other hardware).
+    if getattr(args, "use_pallas", False):
+        import indoor_nerf_tpu.ops.blockhash as _bh
+
+        _bh.USE_TILE_INTERP_KERNEL = True
+        print("[pallas] tile_interp kernel enabled (see BENCH_NOTES.md)")
+
     # NaN debugging (TPU analogue of the reference's DEBUG NaN scan,
     # run_nerf.py:545-547, and torch detect_anomaly, SURVEY.md §5.2).
     if getattr(args, "debug_nans", False):
