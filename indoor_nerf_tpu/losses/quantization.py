@@ -162,8 +162,16 @@ def learned_fake_quant(
     else:
         range_val = jnp.clip(range_scale, min=1e-8)
         scale = range_val / (jnp.exp2(b) - 1.0)
-        v_max = get(group["v_max"])
-        zero_point = jnp.round(jnp.clip(v_max / scale, qmin, qmax))
+        # DIVERGENCE (bug fix): the reference anchors the zero point at
+        # v_max/scale (quantization.py:169), which maps the top of the range
+        # to ZERO after dequantization — for ReLU activations (min == 0)
+        # every positive value collapses to ~0 and training dies (measured:
+        # 9.75 dB vs 31.8 dB fp32). The standard min-anchored zero point
+        # reproduces the reference's behavior exactly on symmetric-around-0
+        # data (e.g. hash embeddings: both give zp = 2^(B-1)) and is correct
+        # for one-sided data.
+        running_min = get(group["running_min"])
+        zero_point = jnp.round(jnp.clip(-running_min / scale, qmin, qmax))
 
     x_scaled = x / (scale + 1e-8)
     x_quant = jnp.clip(jnp.round(x_scaled + zero_point), qmin, qmax)

@@ -186,7 +186,14 @@ def _quantize_corner_feats(
     """
     qc = config.quant
     group = quant_state["embed"]
-    active = step >= qc.warmup_steps
+    if step is None:
+        # Eval-time render (no traced step): the quantizer is active iff the
+        # warmup passed during training, which is exactly when calibration
+        # ran (reference keeps a persistent counter on the embedder,
+        # hash_encoding.py:25-26). Per-level [L] -> [1, L, 1, 1].
+        active = group["calibrated"][None, :, None, None]
+    else:
+        active = step >= qc.warmup_steps
 
     if train:
         # Lazy one-shot calibration on the first active training batch
@@ -213,7 +220,9 @@ def _quantize_corner_feats(
     qmax = jnp.exp2(int_bits) - 1.0
     b = bits if train else int_bits
     scale = jnp.clip(group["range_scale"], min=1e-8) / (jnp.exp2(b) - 1.0)
-    zero_point = jnp.round(jnp.clip(group["v_max"] / scale, qmin, qmax))
+    # Min-anchored zero point (see losses/quantization.py for the bug-fix
+    # rationale vs the reference's v_max anchoring).
+    zero_point = jnp.round(jnp.clip(-group["running_min"] / scale, qmin, qmax))
 
     x_scaled = corner_feats / bc(scale + 1e-8)
     x_quant = jnp.clip(jnp.round(x_scaled + bc(zero_point)), bc(qmin), bc(qmax))

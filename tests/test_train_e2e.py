@@ -13,6 +13,7 @@ import pytest
 
 from indoor_nerf_tpu.data.pipeline import BatchedRaySampler, ImageRaySampler
 from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+from indoor_nerf_tpu.losses.quantization import QuantConfig
 from indoor_nerf_tpu.models.field import FieldConfig
 from indoor_nerf_tpu.ops.encoding import HashGridConfig
 from indoor_nerf_tpu.render.renderer import RenderConfig
@@ -28,9 +29,13 @@ def _make_config(scene, n_rand=512, **kw):
         base_resolution=16,
         finest_resolution=128,
     )
+    fc_kw = {}
+    if "quant" in kw:
+        fc_kw["quant"] = kw.pop("quant")
     fc = FieldConfig(grid=grid, n_importance=0,
                      predict_normals=kw.pop("predict_normals", False),
-                     use_quantization=kw.pop("use_quantization", False))
+                     use_quantization=kw.pop("use_quantization", False),
+                     **fc_kw)
     rc = RenderConfig(field=fc, n_samples=32, n_importance=0, white_bkgd=True)
     return TrainConfig(
         render=rc, near=scene["near"], far=scene["far"], n_rand=n_rand,
@@ -80,6 +85,7 @@ def test_training_with_priors_and_quantization_runs():
         n_rand=256,
         predict_normals=True,
         use_quantization=True,
+        quant=QuantConfig(warmup_steps=10),  # embed quant active by step 30
         use_structural_priors=True,
         structural_loss_start_iter=5,
         structural_loss_ramp_iters=10,
@@ -103,6 +109,24 @@ def test_training_with_priors_and_quantization_runs():
     # A-CAQ controller has adjusted bitwidths away from init (8.0).
     bits = np.asarray(state["quant"]["embed"]["soft_bits"])
     assert not np.allclose(bits, 8.0)
-    # Quantizers calibrated once warmup passed... warmup default is 500 so
-    # embed quantizers are still inactive; MLP ones calibrate immediately.
+    # Quantizers calibrated once warmup passed (warmup_steps=10 above).
     assert bool(state["quant"]["weight"]["calibrated"])
+    assert bool(np.all(state["quant"]["embed"]["calibrated"]))
+
+    # Regression: eval-time render with an active quantizer and no traced
+    # step (step=None). This is the testset/render_only path — it crashed
+    # with a None-vs-int comparison before the calibrated-gated eval path.
+    from indoor_nerf_tpu.render.renderer import render_rays
+
+    batch = _np_batch(sampler.next(0))
+    rays_o, rays_d = batch["rays_o"], batch["rays_d"]
+    viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    near = jnp.full((rays_o.shape[0], 1), cfg.near)
+    far = jnp.full((rays_o.shape[0], 1), cfg.far)
+    out, _ = jax.jit(
+        functools.partial(
+            render_rays, config=cfg.render.test_mode(), train=False
+        )
+    )(None, state["params"], rays_o, rays_d, viewdirs, near, far,
+      quant_state=state["quant"])
+    assert np.all(np.isfinite(np.asarray(out["rgb_map"])))
