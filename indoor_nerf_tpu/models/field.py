@@ -238,6 +238,76 @@ def _quantize_corner_feats(
     return out, new_state
 
 
+def _quantize_block_table(
+    table: jnp.ndarray,
+    quant_state: QuantState,
+    config: FieldConfig,
+    train: bool,
+    step: Optional[jnp.ndarray],
+) -> Tuple[jnp.ndarray, QuantState]:
+    """Per-level learned fake quantization of the block-hash table.
+
+    Same A-CAQ semantics as ``_quantize_corner_feats`` (warmup gate, one-shot
+    per-level calibration, STE, soft bits in train / rounded in eval), but
+    applied to the ``[L*R, F*128]`` TABLE before the row gather instead of to
+    the gathered features after it. Because the gather is a linear selection,
+    quantize-then-gather is mathematically identical to the reference's
+    gather-then-quantize (hash_encoding.py:97-101) — and ~50x cheaper here,
+    since one training batch gathers far more row elements than the table
+    holds. Calibration min/max therefore ranges over the whole level table
+    (a superset of any batch; dead padding lanes sit at their +-1e-4 init and
+    never widen a trained level's range).
+    """
+    qc = config.quant
+    group = quant_state["embed"]
+    bg = config.block_grid
+    L = bg.n_levels
+    if step is None:
+        active = group["calibrated"][:, None]  # [L, 1]
+    else:
+        active = jnp.asarray(step >= qc.warmup_steps)
+
+    t = table.reshape(L, -1)  # [L, R * F * 128]
+
+    if train:
+        lvl_min = jnp.min(t, axis=1)
+        lvl_max = jnp.max(t, axis=1)
+        done = group["calibrated"] | jnp.logical_not(active)
+        new_group = dict(group)
+        new_group["running_min"] = jnp.where(done, group["running_min"], lvl_min)
+        new_group["running_max"] = jnp.where(done, group["running_max"], lvl_max)
+        new_group["range_scale"] = jnp.where(
+            done, group["range_scale"], lvl_max - lvl_min
+        )
+        new_group["v_max"] = jnp.where(done, group["v_max"], lvl_max)
+        new_group["calibrated"] = group["calibrated"] | active
+        group = new_group
+
+    bits = jnp.clip(group["soft_bits"], qc.min_bits, qc.max_bits)
+    int_bits = jnp.round(bits)
+    qmin = jnp.zeros_like(int_bits)
+    qmax = jnp.exp2(int_bits) - 1.0
+    b = bits if train else int_bits
+    scale = jnp.clip(group["range_scale"], min=1e-8) / (jnp.exp2(b) - 1.0)
+    zero_point = jnp.round(jnp.clip(-group["running_min"] / scale, qmin, qmax))
+
+    def col(v):  # [L] -> [L, 1]
+        return v[:, None]
+
+    x_scaled = t / col(scale + 1e-8)
+    x_quant = jnp.clip(jnp.round(x_scaled + col(zero_point)), col(qmin), col(qmax))
+    x_dequant = (x_quant - col(zero_point)) * col(scale)
+    if train:
+        q = t + jax.lax.stop_gradient(x_dequant - t)
+    else:
+        q = x_dequant
+
+    out = jnp.where(active, q, t).reshape(table.shape)
+    new_state = dict(quant_state)
+    new_state["embed"] = group
+    return out, new_state
+
+
 def encode_position(
     x: jnp.ndarray,
     params: Params,
@@ -257,9 +327,14 @@ def encode_position(
         feats = trilinear_interp(corner_feats, weights)
         return feats.reshape(x.shape[0], config.grid.out_dim), keep, quant_state
     if config.i_embed == 3:
-        # TPU-native block-hash path. A-CAQ per-level fake-quant is currently
-        # only wired into the i_embed=1 layout (documented limitation).
-        feats, keep = block_hash_encode(x, params["table"], config.block_grid)
+        # TPU-native block-hash path: A-CAQ fake-quant applies to the table
+        # itself (see _quantize_block_table — identical math, far cheaper).
+        table = params["table"]
+        if config.use_quantization and quant_state is not None:
+            table, quant_state = _quantize_block_table(
+                table, quant_state, config, train, step
+            )
+        feats, keep = block_hash_encode(x, table, config.block_grid)
         return feats, keep, quant_state
     feats = positional_encode(x, config.multires)
     return feats, jnp.ones(x.shape[0], jnp.bool_), quant_state

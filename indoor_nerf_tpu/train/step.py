@@ -77,9 +77,10 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         # Quantizer counts follow the model geometry: one per hash level and
         # one per hidden sigma activation (reference: hash_encoding.py:45-51,
         # run_nerf_helpers.py:220-226).
+        n_levels = fc.grid.n_levels if fc.grid is not None else fc.block_grid.n_levels
         qc = dataclasses.replace(
             fc.quant,
-            n_embed_levels=fc.grid.n_levels,
+            n_embed_levels=n_levels,
             n_act_quantizers=fc.num_layers - 1,
         )
         state["quant"] = init_quant_state(qc)

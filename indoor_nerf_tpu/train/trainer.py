@@ -289,6 +289,10 @@ def train(args) -> Dict:
     step_fn = make_sharded_train_step(
         cfg, mesh, model_axis=model_axis, state_template=state
     )
+    # Eval renders shard the ray axis over the mesh (render/path.py). With a
+    # model-sharded (TP) table the sharded renderer's replicated in_specs
+    # don't apply — fall back to the plain jit renderer there.
+    eval_mesh = mesh if model_axis is None else None
 
     # Ray samplers (reference: run_nerf.py:899-1004). In batched mode the
     # hot path is served by the native C++ double-buffered batcher when the
@@ -508,7 +512,7 @@ def train(args) -> Dict:
                 scene.render_poses, scene.hwf, K, test_config,
                 state["params"], scene.near, scene.far,
                 quant_state=state["quant"], occ_state=state.get("occ"),
-                save_figures=False,
+                save_figures=False, mesh=eval_mesh,
             )
             print("Done, saving", rgbs.shape, disps.shape)
             moviebase = os.path.join(
@@ -526,6 +530,7 @@ def train(args) -> Dict:
                 state["params"], scene.near, scene.far,
                 gt_imgs=scene.images[scene.i_test], savedir=testsavedir,
                 quant_state=state["quant"], occ_state=state.get("occ"),
+                mesh=eval_mesh,
             )
             print("Saved test set")
             if psnrs:

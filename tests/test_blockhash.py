@@ -164,3 +164,69 @@ def test_blockhash_training_converges():
         last = float(metrics["psnr"])
     assert np.isfinite(last)
     assert last > 18.0, last
+
+
+def test_blockhash_acaq_quantization():
+    """A-CAQ fake-quant on the block-hash table: calibration, bit-dependent
+    coarseness, STE gradients, and the eval (step=None) path."""
+    from indoor_nerf_tpu.losses.quantization import QuantConfig
+    from indoor_nerf_tpu.models.field import (
+        FieldConfig,
+        _quantize_block_table,
+        encode_position,
+        init_field_params,
+    )
+    from indoor_nerf_tpu.train.step import TrainConfig, init_train_state
+    from indoor_nerf_tpu.render.renderer import RenderConfig
+
+    fc = FieldConfig(
+        block_grid=CFG, i_embed=3, n_importance=0,
+        use_quantization=True, quant=QuantConfig(warmup_steps=0),
+    )
+    cfg = TrainConfig(
+        render=RenderConfig(field=fc, n_samples=8),
+        near=0.1, far=4.0, n_rand=32,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    assert state["quant"]["embed"]["soft_bits"].shape == (CFG.n_levels,)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(-0.9, 0.9, size=(64, 3)), jnp.float32)
+    params = state["params"]
+    step = jnp.asarray(10, jnp.int32)
+
+    feats_q, _, qs = encode_position(x, params, fc, state["quant"], True, step)
+    feats_fp, _, _ = encode_position(x, params, fc, None, True, step)
+    assert bool(np.all(np.asarray(qs["embed"]["calibrated"])))
+    assert np.all(np.isfinite(np.asarray(feats_q)))
+    # 8-bit quantization of a U(-1e-4, 1e-4) table perturbs the encoding.
+    assert not np.allclose(np.asarray(feats_q), np.asarray(feats_fp))
+
+    # Fewer bits -> coarser: 2-bit error dominates 8-bit error.
+    qs2 = jax.tree_util.tree_map(lambda v: v, qs)
+    qs2["embed"] = dict(qs["embed"], soft_bits=jnp.full((CFG.n_levels,), 2.0))
+    feats_q2, _, _ = encode_position(x, params, fc, qs2, True, step)
+    err8 = float(jnp.mean((feats_q - feats_fp) ** 2))
+    err2 = float(jnp.mean((feats_q2 - feats_fp) ** 2))
+    assert err2 > err8
+
+    # STE: gradients flow through the quantized table unchanged in pattern.
+    def loss(t):
+        tq, _ = _quantize_block_table(t, qs, fc, True, step)
+        f, _ = block_hash_encode(x, tq, CFG)
+        return jnp.sum(f**2)
+
+    g = jax.grad(loss)(params["table"])
+    assert float(jnp.sum(jnp.abs(g))) > 0
+    assert np.all(np.isfinite(np.asarray(g)))
+
+    # Eval path: no traced step; gate on the calibrated flags.
+    feats_e, _, _ = encode_position(x, params, fc, qs, False, None)
+    assert np.all(np.isfinite(np.asarray(feats_e)))
+    # Uncalibrated eval state leaves the encoding untouched.
+    qs_uncal = jax.tree_util.tree_map(lambda v: v, qs)
+    qs_uncal["embed"] = dict(
+        qs["embed"], calibrated=jnp.zeros((CFG.n_levels,), jnp.bool_)
+    )
+    feats_e0, _, _ = encode_position(x, params, fc, qs_uncal, False, None)
+    np.testing.assert_allclose(np.asarray(feats_e0), np.asarray(feats_fp))
