@@ -25,9 +25,15 @@ def main():
                     help="default 16384 (exact) / 2048 (block: wide-row "
                          "fetches are ~1KB per point-level, so big tiles "
                          "OOM HBM)")
+    ap.add_argument("--baked", action="store_true",
+                    help="bench the baked deferred-shading renderer "
+                         "(render/baked.py) instead of the online field")
+    ap.add_argument("--baked_res", type=int, default=256,
+                    help="baked grid resolution (voxels per edge)")
     args = ap.parse_args()
     if args.tile_rays is None:
-        args.tile_rays = 16384 if args.i_embed == 1 else 2048
+        args.tile_rays = (4096 if args.baked
+                          else 16384 if args.i_embed == 1 else 2048)
 
     import jax
     import numpy as np
@@ -56,29 +62,52 @@ def main():
     H = W = args.res
     K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1]],
                  np.float32)
-    render = make_image_renderer(rc, H, W, args.tile_rays)
-
     c2w = np.eye(4, dtype=np.float32)[:3, :4]
     c2w[2, 3] = 4.0
+
+    if args.baked:
+        import time as _t
+
+        from indoor_nerf_tpu.render.baked import (
+            bake_field,
+            make_baked_image_renderer,
+        )
+
+        tb = _t.perf_counter()
+        baked = bake_field(params, fc, resolution=args.baked_res)
+        float(baked["table"].astype("float32").sum())
+        bake_s = _t.perf_counter() - tb
+        render = make_baked_image_renderer(
+            baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples
+        )
+        render_call = lambda: render(c2w, K, 2.0, 6.0)
+        cfg_out = {"baked_res": args.baked_res, "n_samples": args.n_samples,
+                   "bake_seconds": round(bake_s, 2)}
+    else:
+        render = make_image_renderer(rc, H, W, args.tile_rays)
+        render_call = lambda: render(params, c2w, K, 2.0, 6.0)
+        cfg_out = {"i_embed": args.i_embed, "n_samples": args.n_samples,
+                   "n_importance": args.n_importance}
+
     # Close timing with a real value reduction+transfer: block_until_ready
     # can return early over the axon tunnel (see CLAUDE.md).
-    out = render(params, c2w, K, 2.0, 6.0)  # compile
+    out = render_call()  # compile
     float(out["rgb_map"].sum())
 
     t0 = time.perf_counter()
     s = 0.0
     for i in range(args.frames):
-        out = render(params, c2w, K, 2.0, 6.0)
+        out = render_call()
         s += float(out["rgb_map"].sum())
     dt = time.perf_counter() - t0
 
     fps = args.frames / dt
+    tag = "baked_" if args.baked else ""
     print(json.dumps({
-        "metric": f"render_fps_{args.res}x{args.res}",
+        "metric": f"{tag}render_fps_{args.res}x{args.res}",
         "value": round(fps, 3),
         "unit": "frames/s",
-        "config": {"i_embed": args.i_embed, "n_samples": args.n_samples,
-                   "n_importance": args.n_importance},
+        "config": cfg_out,
         "seconds_per_frame": round(dt / args.frames, 3),
     }))
 

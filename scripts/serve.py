@@ -5,7 +5,11 @@ this exposes the jitted tiled renderer over HTTP using only the standard
 library. The model compiles once at startup; each request renders one pose.
 
   python scripts/serve.py --config configs/chair.txt [--port 8000]
-      [--width 400 --height 400]
+      [--width 400 --height 400] [--baked [--baked_res 256]]
+
+--baked bakes the checkpoint into the deferred-shading snapshot
+(render/baked.py) at startup and serves from it — interactive frame rates
+at a documented quality trade (DIVERGENCES.md).
 
 API:
   GET  /health              -> {"status": "ok", "step": N}
@@ -54,6 +58,28 @@ def build(args):
     W = args.width or scene.hwf[1]
     focal = scene.hwf[2] * (W / scene.hwf[1])
     K = np.array([[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]])
+    if getattr(args, "baked", False):
+        from indoor_nerf_tpu.render.baked import (
+            bake_field,
+            make_baked_image_renderer,
+        )
+
+        print(f"baking snapshot at {args.baked_res}^3 ...")
+        t0 = time.perf_counter()
+        baked = bake_field(state["params"], cfg.render.field,
+                           resolution=args.baked_res)
+        print(f"baked in {time.perf_counter() - t0:.1f}s")
+        baked_renderer = make_baked_image_renderer(baked, int(H), int(W))
+
+        def render(c2w):
+            t0 = time.perf_counter()
+            out = baked_renderer(np.asarray(c2w, np.float32)[:3, :4], K,
+                                 scene.near, scene.far)
+            rgb = np.asarray(out["rgb_map"])
+            return rgb, time.perf_counter() - t0
+
+        return render, step, (int(H), int(W))
+
     tile = 2048 if cli.i_embed == 3 else 8192
     renderer = make_image_renderer(cfg.render.test_mode(), int(H), int(W), tile)
 
@@ -72,6 +98,10 @@ def main():
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--baked", action="store_true",
+                    help="bake the field at startup; serve from the "
+                         "deferred-shading snapshot (render/baked.py)")
+    ap.add_argument("--baked_res", type=int, default=256)
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="the training CLI flags identifying the run "
                          "(e.g. --config configs/chair.txt ...)")

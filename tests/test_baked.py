@@ -1,0 +1,129 @@
+"""Tests for the baked deferred-shading renderer (render/baked.py)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
+from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+from indoor_nerf_tpu.models.field import FieldConfig, init_field_params
+from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+from indoor_nerf_tpu.render.baked import (
+    _ray_aabb,
+    _sigma_geo_query,
+    _tent_interp,
+    bake_field,
+    make_baked_image_renderer,
+)
+from indoor_nerf_tpu.render.renderer import RenderConfig, make_image_renderer
+from indoor_nerf_tpu.train.step import TrainConfig, init_train_state, train_step
+
+
+def _tiny_field(bbox=((-1.0, -1.0, -1.0), (1.0, 1.0, 1.0))):
+    bg = BlockHashConfig(
+        bbox_min=bbox[0], bbox_max=bbox[1],
+        n_levels=4, log2_rows=6, base_resolution=8, finest_resolution=32,
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    params = init_field_params(jax.random.PRNGKey(0), fc)
+    return fc, params
+
+
+def test_ray_aabb():
+    bmin = jnp.asarray([-1.0, -1.0, -1.0])
+    bmax = jnp.asarray([1.0, 1.0, 1.0])
+    o = jnp.asarray([[0.0, 0.0, -3.0], [0.0, 5.0, -3.0]])
+    d = jnp.asarray([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    t0, t1 = _ray_aabb(o, d, bmin, bmax, 0.0, 10.0)
+    np.testing.assert_allclose(np.asarray(t0[0]), 2.0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1[0]), 4.0, atol=1e-5)
+    # Second ray misses: zero-length interval.
+    assert float(t1[1]) <= float(t0[1]) + 1e-6
+
+
+def test_bake_exact_at_vertices():
+    """Tent interp of the baked table at vertex positions reproduces the
+    field query exactly (tent weights select a single lane there)."""
+    fc, params = _tiny_field()
+    baked = bake_field(params, fc, resolution=8, table_dtype="float32",
+                       blocks_per_chunk=8)
+    bc = baked["config"]
+    assert baked["table"].shape == (bc.n_blocks, bc.n_features * 128)
+
+    rng = np.random.default_rng(0)
+    vij = rng.integers(0, 9, size=(40, 3))  # vertex ids in [0, 8]
+    bmin = np.asarray(bc.bbox_min)
+    bmax = np.asarray(bc.bbox_max)
+    pts = bmin + vij / 8.0 * (bmax - bmin)
+    sigma, geo = _sigma_geo_query(params, fc, "coarse",
+                                  jnp.asarray(pts, jnp.float32))
+
+    rel = vij.astype(np.float64)  # vertex-space coords == vertex ids
+    blk = np.clip(rel // 4, 0, bc.blocks_per_edge - 1).astype(np.int32)
+    local = rel - blk * 4
+    E = bc.blocks_per_edge
+    row_idx = (blk[:, 0] * E + blk[:, 1]) * E + blk[:, 2]
+    rows = jnp.take(baked["table"], jnp.asarray(row_idx), axis=0)
+    feats = _tent_interp(rows, jnp.asarray(local, jnp.float32),
+                         bc.n_features)
+    np.testing.assert_allclose(
+        np.asarray(feats[:, 0]), np.asarray(sigma), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(feats[:, 1:]), np.asarray(geo), rtol=1e-4, atol=1e-5
+    )
+
+
+@pytest.mark.slow
+def test_baked_render_matches_online():
+    """Train a small field, bake it, and check the baked render stays in the
+    online render's quality class on a held-out view."""
+    scene = make_synthetic_scene(n_views=10, H=48, W=48)
+    bg = BlockHashConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=8, log2_rows=7, base_resolution=16, finest_resolution=64,
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=48, white_bkgd=True)
+    cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
+                      n_rand=512, lrate=0.01, tv_loss_weight=0.0)
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], cfg.n_rand,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+    key = jax.random.PRNGKey(1)
+    for _ in range(300):
+        key, sub = jax.random.split(key)
+        batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+        state, metrics = step_fn(state, batch, sub)
+
+    i_test = scene["i_split"][2][0]
+    gt = np.asarray(scene["images"][i_test])
+    c2w = np.asarray(scene["poses"][i_test])[:3, :4]
+
+    online = make_image_renderer(rc.test_mode(), H, W, 4096)(
+        state["params"], c2w, scene["K"], scene["near"], scene["far"]
+    )
+    psnr_online = -10 * np.log10(
+        np.mean((np.asarray(online["rgb_map"]) - gt) ** 2)
+    )
+
+    baked = bake_field(state["params"], fc, resolution=64,
+                       table_dtype="float32", blocks_per_chunk=256)
+    render = make_baked_image_renderer(baked, H, W, tile_rays=1024,
+                                       n_samples=96)
+    out = render(c2w, scene["K"], scene["near"], scene["far"])
+    rgb = np.asarray(out["rgb_map"])
+    assert np.all(np.isfinite(rgb))
+    psnr_baked = -10 * np.log10(np.mean((rgb - gt) ** 2))
+
+    # The bake trades sub-voxel detail + exact view-dependence for speed;
+    # it must stay within a few dB of the online render, not collapse.
+    assert psnr_baked > 18.0, (psnr_baked, psnr_online)
+    assert psnr_baked > psnr_online - 6.0, (psnr_baked, psnr_online)
