@@ -5,20 +5,25 @@ Deployment-grade fast rendering is the reference's stated end goal
 PocketNeRF/README.md:43) but it ships no baked pipeline. This module adds a
 TPU-native one (SNeRG-style, PAPERS.md "Baking Neural Radiance Fields"):
 
-1. **Bake** (`bake_field`): evaluate the trained field's sigma-net once on a
-   dense vertex grid and store (sigma, geo_feat) in the SAME halo'd 5^3
-   block-tile layout the block-hash encoder uses (ops/blockhash.py) — but
-   with PERFECT (collision-free) linear block indexing. Any voxel's 8
-   interpolation corners live in ONE 128-lane row, so a render sample costs
-   ONE wide gather instead of 8 narrow ones (the measured TPU gather rate is
-   per-ROW, ~300M rows/s, with row width free up to the HBM bandwidth
-   ceiling).
+1. **Bake** (`bake_field`): evaluate the trained field's sigma-net once per
+   grid vertex, then lay the results out so every render fetch is ONE row:
+   - sigma in halo'd 5^3 block tiles ([E^3, 128], 67 MB at 256^3 — small
+     enough to gather at the fast rate), PERFECT (collision-free) linear
+     block indexing, same tile trick as ops/blockhash.py;
+   - geo features in a voxel-CORNER table ([R^3, 128]: all 8 trilinear
+     corners x 16 lanes each, corner-major). One 256 B row per sample sits
+     under BOTH measured gather walls on GB-scale tables (~50M rows/s and
+     ~50 GB/s); the 8x vertex duplication is the price (~4.3 GB at 256^3).
+   The whole bake is two jit dispatches (lax.map over chunks inside) —
+   per-chunk host dispatches crawl through the axon tunnel.
 2. **Render** (`baked_render_rays` / `make_baked_image_renderer`): ray-AABB
-   clip -> uniform depths -> one gather + tent-product trilinear per sample
-   -> composite sigma AND the 15-dim geo feature along the ray -> run the
-   trained color net ONCE PER RAY on the accumulated feature + view
-   direction (deferred shading). The per-sample MLP cost of the online
-   renderer disappears entirely.
+   clip -> uniform depths -> pass 1 composites sigma from tile rows ->
+   pass 2 fetches voxel-corner rows for only the top-k weighted samples
+   (quality is flat down to k=8) -> run the trained color net ONCE PER RAY
+   on the accumulated feature + view direction (deferred shading). The
+   per-sample MLP cost of the online renderer disappears entirely.
+   Measured 800x800 on one v5e chip: 1.85 FPS at S=128 (~18x the online
+   renderer), 2.3 FPS at S=64 — see BENCH_NOTES.md.
 
 Behavioral divergence from the online renderer (documented in
 DIVERGENCES.md): (a) the field is frozen at vertex resolution — sub-voxel
@@ -120,65 +125,110 @@ def bake_field(
     )
     E = bc.blocks_per_edge
     n_blocks = bc.n_blocks
-    F = bc.n_features
+    V = resolution + 1  # vertices per edge
 
     bmin = np.asarray(bbox_min, np.float32)
     bmax = np.asarray(bbox_max, np.float32)
     voxel = (bmax - bmin) / resolution  # [3]
+    dtype = jnp.dtype(table_dtype)
 
-    # Lane -> in-tile vertex offsets (lanes >= 125 are dead padding).
-    lane = np.arange(LANES)
-    lxyz = np.stack(
-        [lane // (SIDE * SIDE), (lane // SIDE) % SIDE, lane % SIDE], axis=-1
-    ).astype(np.float32)  # [128, 3]
-    live = (lane < SIDE**3)[None, :]  # [1, 128]
+    # 1. Query every UNIQUE vertex once: [V^3] sigma and [V^3, geo] features.
+    #    ONE jit dispatch with lax.map over fixed-size chunks inside, and all
+    #    index math from iota on device: per-chunk host dispatches and index
+    #    uploads each crawl through the axon tunnel (measured: they, not the
+    #    compute, dominated earlier bakes).
+    chunk = blocks_per_chunk * LANES
+    n_chunks = -(-(V**3) // chunk)
 
-    @functools.partial(jax.jit, static_argnames=())
-    def bake_chunk(block_ids):
-        # block ids -> block corner vertex coords -> 128 lane positions each.
-        bx = block_ids // (E * E)
-        by = (block_ids // E) % E
-        bz = block_ids % E
-        base = jnp.stack([bx, by, bz], axis=-1).astype(jnp.float32) * BLOCK
-        vtx = base[:, None, :] + jnp.asarray(lxyz)[None, :, :]  # [m, 128, 3]
-        pts = jnp.asarray(bmin) + vtx * jnp.asarray(voxel)
-        sigma, geo = _sigma_geo_query(
-            params, config, mlp_name, pts.reshape(-1, 3)
+    @jax.jit
+    def bake_vertices():
+        def one_chunk(ci):
+            vert_ids = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            vert_ids = jnp.minimum(vert_ids, V**3 - 1)
+            vi = jnp.stack(
+                [vert_ids // (V * V), (vert_ids // V) % V, vert_ids % V],
+                axis=-1,
+            ).astype(jnp.float32)
+            pts = jnp.asarray(bmin) + vi * jnp.asarray(voxel)
+            sigma, geo = _sigma_geo_query(params, config, mlp_name, pts)
+            return sigma.astype(dtype), geo.astype(dtype)
+
+        s, g = jax.lax.map(one_chunk, jnp.arange(n_chunks, dtype=jnp.int32))
+        return s.reshape(-1)[: V**3], g.reshape(-1, geo_dim)[: V**3]
+
+    vert_sigma, geo_table = bake_vertices()  # [V^3], [V^3, geo]
+
+    # 2. Sigma TILE table [n_blocks, 128]: gather each block's 5^3 halo'd
+    #    vertices into one 128-lane row (on-device, no net queries). The
+    #    density pass costs ONE 256 B row fetch per render sample, and the
+    #    67 MB table is small enough to gather at the fast (~300M rows/s)
+    #    rate.
+    @jax.jit
+    def build_sigma_tiles(vs):
+        # Index math on device (a host-built [n_blocks, 128] index array
+        # would crawl through the axon tunnel).
+        lane = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, LANES), 1)
+        lx = lane // (SIDE * SIDE)
+        ly = (lane // SIDE) % SIDE
+        lz = lane % SIDE
+        live = lane < SIDE**3
+        b = jax.lax.broadcasted_iota(jnp.int32, (n_blocks, LANES), 0)
+        bx = b // (E * E) * BLOCK
+        by = (b // E) % E * BLOCK
+        bz = b % E * BLOCK
+        vid = jnp.where(
+            live, ((bx + lx) * V + (by + ly)) * V + (bz + lz), 0
         )
-        m = block_ids.shape[0]
-        sigma = sigma.reshape(m, LANES) * jnp.asarray(live, jnp.float32)
-        geo = geo.reshape(m, LANES, geo_dim) * jnp.asarray(
-            live, jnp.float32
-        )[..., None]
-        # Pack feature-major lane planes: [m, F*128].
-        row = jnp.concatenate(
-            [sigma[:, None, :], jnp.moveaxis(geo, -1, 1)], axis=1
-        ).reshape(m, F * LANES)
-        return row.astype(jnp.dtype(table_dtype)), jnp.max(
-            jax.nn.relu(sigma), axis=1
-        )
+        rows = jnp.take(vs, vid.reshape(-1), axis=0).reshape(n_blocks, LANES)
+        rows = rows * live.astype(dtype)
+        return rows, jnp.max(jax.nn.relu(rows.astype(jnp.float32)), axis=1)
 
-    # Chunks stay ON DEVICE: host round-trips per chunk are the bake
-    # bottleneck (measured ~2 MB/s through the axon tunnel vs ~ms on-device
-    # concatenation).
-    rows_out = []
-    max_out = []
-    ids = np.arange(n_blocks, dtype=np.int32)
-    m = min(blocks_per_chunk, n_blocks)
-    pad = (-len(ids)) % m
-    ids = np.concatenate([ids, np.zeros(pad, np.int32)])
-    for i in range(0, len(ids), m):
-        row, bm = bake_chunk(jnp.asarray(ids[i : i + m]))
-        rows_out.append(row)
-        max_out.append(bm)
-    table = jnp.concatenate(rows_out)[:n_blocks]
-    block_max = jnp.concatenate(max_out)[:n_blocks]
+    sigma_table, block_max = build_sigma_tiles(vert_sigma)
+
+    # 3. Voxel CORNER table [R^3, 128]: row = the voxel's 8 corner vertices
+    #    x (geo features padded to 16 lanes each), corner-major
+    #    (c = dx*4 + dy*2 + dz). The feature pass then costs exactly ONE
+    #    256 B row per selected sample — simultaneously minimal rows (1) and
+    #    near-minimal bytes. Measured on GB-scale tables both gather walls
+    #    bind around ~50M rows/s and ~50 GB/s, and this layout sits under
+    #    both; the 8x vertex duplication (~4.3 GB at 256^3 bf16) is the
+    #    price. Built on device by 8 gathers from the vertex-major pass.
+    if geo_dim > 15:
+        raise ValueError("voxel-corner rows fit geo_feat_dim <= 15")
+    R = resolution
+    stride = LANES // 8  # 16 lanes per corner
+    total = R**3
+    n_vchunks = -(-total // chunk)
+
+    @jax.jit
+    def build_voxel_table(vg):
+        def one_chunk(ci):
+            vox = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
+            vox = jnp.minimum(vox, total - 1)
+            x = vox // (R * R)
+            y = (vox // R) % R
+            z = vox % R
+            parts = []
+            for dx in (0, 1):
+                for dy in (0, 1):
+                    for dz in (0, 1):
+                        vid = ((x + dx) * V + (y + dy)) * V + (z + dz)
+                        corner = jnp.take(vg, vid, axis=0)  # [m, geo]
+                        parts.append(
+                            jnp.pad(corner, ((0, 0), (0, stride - geo_dim)))
+                        )
+            return jnp.concatenate(parts, axis=-1)  # [m, 128]
+
+        rows = jax.lax.map(
+            one_chunk, jnp.arange(n_vchunks, dtype=jnp.int32)
+        )
+        return rows.reshape(-1, LANES)[:total]
+
+    voxel_geo = build_voxel_table(geo_table)
+
     return {
-        "table": table,
-        # Contiguous sigma plane: the density pass fetches 128-lane rows
-        # (256 B in bf16) instead of the full F*128 feature row (~4 KB) —
-        # the fetch-volume split that makes the two-pass renderer fast.
-        "sigma_table": table[:, :LANES],
+        "sigma_table": sigma_table,
+        "voxel_geo": voxel_geo,
         "block_max": block_max,
         "color_net": params[mlp_name]["color_net"],
         "config": bc,
@@ -231,21 +281,21 @@ def baked_render_rays(
     far: float,
     n_samples: int = 128,
     white_bkgd: bool = True,
-    k_geo: Optional[int] = 32,
+    k_geo: Optional[int] = 8,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
 
     Two passes split the fetch volume (the TPU render bottleneck):
-    1. density: one 128-lane sigma row per sample -> weights along the ray;
-    2. features: the FULL F*128 feature row only for the ``k_geo`` highest-
-       weight samples per ray (surface hits carry ~all the weight mass).
-    Then ONE deferred color-net evaluation per ray. ``k_geo=None`` fetches
-    features for every sample (exact, ~F x the bytes).
+    1. density: one 128-lane sigma TILE row per sample -> weights;
+    2. features: the 8 corner rows (~32 B each) of the vertex-major geo
+       table, only for the ``k_geo`` highest-weight samples per ray
+       (surface hits carry ~all the weight mass; quality is flat down to
+       k=8, see BENCH_NOTES.md). ``k_geo=None`` uses every sample.
+    Then ONE deferred color-net evaluation per ray.
     """
     bc: BakedConfig = baked["config"]
     n = rays_o.shape[0]
     E = bc.blocks_per_edge
-    F = bc.n_features
     bmin = jnp.asarray(bc.bbox_min, jnp.float32)
     bmax = jnp.asarray(bc.bbox_max, jnp.float32)
 
@@ -282,20 +332,35 @@ def baked_render_rays(
     acc = jnp.sum(weights, axis=-1)
     depth = jnp.sum(weights * z, axis=-1)
 
-    # Pass 2: full feature rows for the top-k weighted samples per ray.
+    # Pass 2: geo features for the top-k weighted samples per ray — ONE
+    # 256 B voxel-corner row per sample (all 8 trilinear corners in-row),
+    # the layout that sits under both measured gather walls (~50M rows/s
+    # and ~50 GB/s on GB-scale tables).
     if k_geo is not None and k_geo < n_samples:
         w_sel, sel = jax.lax.top_k(weights, k_geo)  # [N, k]
-        row_sel = jnp.take_along_axis(row_idx, sel, axis=1)
-        local_sel = jnp.take_along_axis(local, sel[..., None], axis=1)
+        rel_sel = jnp.take_along_axis(rel, sel[..., None], axis=1)
     else:
         k_geo = n_samples
-        w_sel, sel = weights, None
-        row_sel, local_sel = row_idx, local
-    rows = jnp.take(baked["table"], row_sel.reshape(-1), axis=0)
-    feats = _tent_interp(rows, local_sel.reshape(-1, 3), F).reshape(
-        n, k_geo, F
+        w_sel = weights
+        rel_sel = rel
+    R = bc.resolution
+    v0 = jnp.clip(rel_sel.astype(jnp.int32), 0, R - 1)
+    frac = rel_sel - v0.astype(jnp.float32)  # [N, k, 3]
+    vox = ((v0[..., 0] * R + v0[..., 1]) * R + v0[..., 2]).reshape(-1)
+    crows = jnp.take(baked["voxel_geo"], vox, axis=0).reshape(
+        n, k_geo, 8, LANES // 8
     )
-    geo = feats[..., 1:]
+    corner = jnp.asarray(
+        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+        jnp.float32,
+    )  # [8, 3] — same corner-major order the bake packs lanes in
+    cw = jnp.where(corner[None, None, :, :] == 1.0, frac[:, :, None, :],
+                   1.0 - frac[:, :, None, :])  # [N, k, 8, 3]
+    cw = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [N, k, 8]
+    geo = jnp.einsum(
+        "nkcf,nkc->nkf", crows[..., : bc.n_features - 1],
+        cw.astype(crows.dtype), preferred_element_type=jnp.float32,
+    )
     feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
 
     # Deferred shading: one color-net pass per RAY.
@@ -333,7 +398,7 @@ def make_baked_image_renderer(
     tile_rays: int = 16384,
     n_samples: int = 128,
     white_bkgd: bool = True,
-    k_geo: Optional[int] = 32,
+    k_geo: Optional[int] = 8,
 ):
     """A jitted full-image renderer over a baked snapshot.
 
@@ -342,10 +407,10 @@ def make_baked_image_renderer(
     from indoor_nerf_tpu.ops.rays import get_rays
 
     @jax.jit
-    def render_image(table, sigma_table, color_net, c2w, K, near, far):
+    def render_image(sigma_table, voxel_geo, color_net, c2w, K, near, far):
         baked_dev = {
-            "table": table,
             "sigma_table": sigma_table,
+            "voxel_geo": voxel_geo,
             "color_net": color_net,
             "config": baked["config"],
         }
@@ -382,7 +447,7 @@ def make_baked_image_renderer(
 
     def render_fn(c2w, K, near, far):
         return render_image(
-            baked["table"], baked["sigma_table"], baked["color_net"],
+            baked["sigma_table"], baked["voxel_geo"], baked["color_net"],
             jnp.asarray(c2w, jnp.float32), jnp.asarray(K, jnp.float32),
             jnp.asarray(near, jnp.float32), jnp.asarray(far, jnp.float32),
         )

@@ -75,7 +75,7 @@ def main():
 
         tb = _t.perf_counter()
         baked = bake_field(params, fc, resolution=args.baked_res)
-        float(baked["table"].astype("float32").sum())
+        float(baked["voxel_geo"].astype("float32").sum())
         bake_s = _t.perf_counter() - tb
         render = make_baked_image_renderer(
             baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples

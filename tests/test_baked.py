@@ -45,13 +45,15 @@ def test_ray_aabb():
 
 
 def test_bake_exact_at_vertices():
-    """Tent interp of the baked table at vertex positions reproduces the
-    field query exactly (tent weights select a single lane there)."""
+    """The baked tables reproduce the field query exactly at vertices:
+    sigma via tent interp of the tile row (the tent selects one lane
+    there), geo via a direct vertex-major row lookup."""
     fc, params = _tiny_field()
     baked = bake_field(params, fc, resolution=8, table_dtype="float32",
                        blocks_per_chunk=8)
     bc = baked["config"]
-    assert baked["table"].shape == (bc.n_blocks, bc.n_features * 128)
+    assert baked["sigma_table"].shape == (bc.n_blocks, 128)
+    assert baked["voxel_geo"].shape == (8**3, 128)
 
     rng = np.random.default_rng(0)
     vij = rng.integers(0, 9, size=(40, 3))  # vertex ids in [0, 8]
@@ -66,15 +68,20 @@ def test_bake_exact_at_vertices():
     local = rel - blk * 4
     E = bc.blocks_per_edge
     row_idx = (blk[:, 0] * E + blk[:, 1]) * E + blk[:, 2]
-    rows = jnp.take(baked["table"], jnp.asarray(row_idx), axis=0)
-    feats = _tent_interp(rows, jnp.asarray(local, jnp.float32),
-                         bc.n_features)
+    rows = jnp.take(baked["sigma_table"], jnp.asarray(row_idx), axis=0)
+    feats = _tent_interp(rows, jnp.asarray(local, jnp.float32), 1)
     np.testing.assert_allclose(
         np.asarray(feats[:, 0]), np.asarray(sigma), rtol=1e-4, atol=1e-5
     )
-    np.testing.assert_allclose(
-        np.asarray(feats[:, 1:]), np.asarray(geo), rtol=1e-4, atol=1e-5
-    )
+    # geo: corner 0 (dx=dy=dz=0) of the voxel AT the vertex equals the
+    # vertex's own features (clip voxel ids at the top edge to corner 7).
+    vclip = np.minimum(vij, 7)
+    c = vij - vclip  # 1 where clipped (top face) else 0
+    cidx = c[:, 0] * 4 + c[:, 1] * 2 + c[:, 2]
+    vox = (vclip[:, 0] * 8 + vclip[:, 1]) * 8 + vclip[:, 2]
+    rows = np.asarray(jnp.take(baked["voxel_geo"], jnp.asarray(vox), axis=0))
+    got = rows.reshape(-1, 8, 16)[np.arange(len(vij)), cidx, :15]
+    np.testing.assert_allclose(got, np.asarray(geo), rtol=1e-4, atol=1e-5)
 
 
 @pytest.mark.slow
