@@ -130,7 +130,8 @@ def bake_field(
     bmin = np.asarray(bbox_min, np.float32)
     bmax = np.asarray(bbox_max, np.float32)
     voxel = (bmax - bmin) / resolution  # [3]
-    dtype = jnp.dtype(table_dtype)
+    quantized = table_dtype == "int8"
+    dtype = jnp.bfloat16 if quantized else jnp.dtype(table_dtype)
 
     # 1. Query every UNIQUE vertex once: [V^3] sigma and [V^3, geo] features.
     #    ONE jit dispatch with lax.map over fixed-size chunks inside, and all
@@ -158,6 +159,31 @@ def bake_field(
 
     vert_sigma, geo_table = bake_vertices()  # [V^3], [V^3, geo]
 
+    # Optional int8 snapshot: sigma in log1p space (127 levels over the
+    # log range keeps surface densities resolvable), geo with per-feature
+    # symmetric scales. Halves the fetch bytes and HBM of both tables —
+    # the deployment/"mobile" trade the reference aspires to
+    # (PocketNeRF/README.md:43) made concrete. Interpolation then happens
+    # in log space for sigma (a geometric mean — quality asserted in
+    # tests/test_baked.py).
+    sigma_scale = geo_scale = None
+    if quantized:
+
+        @jax.jit
+        def quantize_tables(vs, vg):
+            ls = jnp.log1p(jax.nn.relu(vs.astype(jnp.float32)))
+            s_sig = jnp.maximum(jnp.max(ls) / 127.0, 1e-8)
+            qs = jnp.round(ls / s_sig).astype(jnp.int8)
+            g32 = vg.astype(jnp.float32)
+            s_geo = jnp.maximum(jnp.max(jnp.abs(g32), axis=0) / 127.0, 1e-8)
+            qg = jnp.clip(jnp.round(g32 / s_geo), -127, 127).astype(jnp.int8)
+            return qs, qg, s_sig, s_geo
+
+        vert_sigma, geo_table, sigma_scale, geo_scale = quantize_tables(
+            vert_sigma, geo_table
+        )
+        dtype = jnp.dtype(jnp.int8)
+
     # 2. Sigma TILE table [n_blocks, 128]: gather each block's 5^3 halo'd
     #    vertices into one 128-lane row (on-device, no net queries). The
     #    density pass costs ONE 256 B row fetch per render sample, and the
@@ -181,7 +207,10 @@ def bake_field(
         )
         rows = jnp.take(vs, vid.reshape(-1), axis=0).reshape(n_blocks, LANES)
         rows = rows * live.astype(dtype)
-        return rows, jnp.max(jax.nn.relu(rows.astype(jnp.float32)), axis=1)
+        bm = jnp.max(jax.nn.relu(rows.astype(jnp.float32)), axis=1)
+        if quantized:  # dequantize log-space back to density units
+            bm = jnp.expm1(bm * sigma_scale)
+        return rows, bm
 
     sigma_table, block_max = build_sigma_tiles(vert_sigma)
 
@@ -226,13 +255,56 @@ def bake_field(
 
     voxel_geo = build_voxel_table(geo_table)
 
-    return {
+    out = {
         "sigma_table": sigma_table,
         "voxel_geo": voxel_geo,
         "block_max": block_max,
         "color_net": params[mlp_name]["color_net"],
         "config": bc,
     }
+    if quantized:
+        out["sigma_scale"] = sigma_scale
+        out["geo_scale"] = geo_scale
+    return out
+
+
+def save_baked(path: str, baked: Dict[str, Any]) -> None:
+    """Serialize a baked snapshot to one msgpack file (the deployable
+    artifact: tables + color net + geometry; same format family as
+    utils/checkpoint.py)."""
+    from flax import serialization
+
+    payload = {k: v for k, v in baked.items() if k != "config"}
+    cfg = dataclasses.asdict(baked["config"])
+    cfg["bbox_min"] = list(cfg["bbox_min"])  # msgpack has no tuple type
+    cfg["bbox_max"] = list(cfg["bbox_max"])
+    blob = serialization.msgpack_serialize(
+        {
+            "arrays": jax.device_get(payload),
+            "config": cfg,
+        }
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    import os
+
+    os.replace(tmp, path)
+
+
+def load_baked(path: str) -> Dict[str, Any]:
+    """Load a snapshot written by save_baked."""
+    from flax import serialization
+
+    with open(path, "rb") as f:
+        obj = serialization.msgpack_restore(f.read())
+    baked = {k: jnp.asarray(v) if not isinstance(v, (dict, list)) else v
+             for k, v in obj["arrays"].items()}
+    cfg = dict(obj["config"])
+    cfg["bbox_min"] = tuple(cfg["bbox_min"])
+    cfg["bbox_max"] = tuple(cfg["bbox_max"])
+    baked["config"] = BakedConfig(**cfg)
+    return baked
 
 
 def _ray_aabb(rays_o, rays_d, bmin, bmax, near, far):
@@ -265,9 +337,11 @@ def _tent_interp(rows: jnp.ndarray, p: jnp.ndarray, n_features: int):
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - p[:, 0:1]))
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - p[:, 1:2]))
     tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - p[:, 2:3]))
-    w = (tx * ty * tz).astype(rows.dtype)  # [M, 128]
+    wd = rows.dtype if jnp.issubdtype(rows.dtype, jnp.floating) else jnp.float32
+    w = (tx * ty * tz).astype(wd)  # [M, 128]
+    rowsf = rows if jnp.issubdtype(rows.dtype, jnp.floating) else rows.astype(wd)
     return jnp.einsum(
-        "mfl,ml->mf", rows.reshape(m, n_features, LANES), w,
+        "mfl,ml->mf", rowsf.reshape(m, n_features, LANES), w,
         preferred_element_type=jnp.float32,
     )
 
@@ -316,6 +390,10 @@ def baked_render_rays(
     sigma = _tent_interp(srows, local.reshape(-1, 3), 1).reshape(
         n, n_samples
     )
+    if bc.table_dtype == "int8":
+        # log1p-quantized density: interpolate in log space (geometric
+        # mean), then dequantize.
+        sigma = jnp.expm1(jax.nn.relu(sigma) * baked["sigma_scale"])
 
     # Standard compositing (ops/volume.py semantics, 1e10 tail).
     dists = jnp.concatenate(
@@ -357,10 +435,14 @@ def baked_render_rays(
     cw = jnp.where(corner[None, None, :, :] == 1.0, frac[:, :, None, :],
                    1.0 - frac[:, :, None, :])  # [N, k, 8, 3]
     cw = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [N, k, 8]
+    cd = (crows.dtype if jnp.issubdtype(crows.dtype, jnp.floating)
+          else jnp.float32)
     geo = jnp.einsum(
-        "nkcf,nkc->nkf", crows[..., : bc.n_features - 1],
-        cw.astype(crows.dtype), preferred_element_type=jnp.float32,
+        "nkcf,nkc->nkf", crows[..., : bc.n_features - 1].astype(cd),
+        cw.astype(cd), preferred_element_type=jnp.float32,
     )
+    if bc.table_dtype == "int8":
+        geo = geo * baked["geo_scale"][None, None, :]
     feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
 
     # Deferred shading: one color-net pass per RAY.
@@ -407,13 +489,8 @@ def make_baked_image_renderer(
     from indoor_nerf_tpu.ops.rays import get_rays
 
     @jax.jit
-    def render_image(sigma_table, voxel_geo, color_net, c2w, K, near, far):
-        baked_dev = {
-            "sigma_table": sigma_table,
-            "voxel_geo": voxel_geo,
-            "color_net": color_net,
-            "config": baked["config"],
-        }
+    def render_image(arrays, c2w, K, near, far):
+        baked_dev = {**arrays, "config": baked["config"]}
         rays_o, rays_d = get_rays(H, W, K, c2w)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
@@ -445,9 +522,11 @@ def make_baked_image_renderer(
             "disp_map": flat["disp_map"].reshape(H, W),
         }
 
+    arrays = {k: v for k, v in baked.items() if k != "config"}
+
     def render_fn(c2w, K, near, far):
         return render_image(
-            baked["sigma_table"], baked["voxel_geo"], baked["color_net"],
+            arrays,
             jnp.asarray(c2w, jnp.float32), jnp.asarray(K, jnp.float32),
             jnp.asarray(near, jnp.float32), jnp.asarray(far, jnp.float32),
         )

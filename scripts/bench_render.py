@@ -30,6 +30,10 @@ def main():
                          "(render/baked.py) instead of the online field")
     ap.add_argument("--baked_res", type=int, default=256,
                     help="baked grid resolution (voxels per edge)")
+    ap.add_argument("--baked_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "int8"],
+                    help="snapshot table dtype (int8 = log-sigma + "
+                         "per-feature geo scales)")
     args = ap.parse_args()
     if args.tile_rays is None:
         args.tile_rays = (4096 if args.baked
@@ -74,14 +78,16 @@ def main():
         )
 
         tb = _t.perf_counter()
-        baked = bake_field(params, fc, resolution=args.baked_res)
+        baked = bake_field(params, fc, resolution=args.baked_res,
+                           table_dtype=args.baked_dtype)
         float(baked["voxel_geo"].astype("float32").sum())
         bake_s = _t.perf_counter() - tb
         render = make_baked_image_renderer(
             baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples
         )
         render_call = lambda: render(c2w, K, 2.0, 6.0)
-        cfg_out = {"baked_res": args.baked_res, "n_samples": args.n_samples,
+        cfg_out = {"baked_res": args.baked_res, "dtype": args.baked_dtype,
+                   "n_samples": args.n_samples,
                    "bake_seconds": round(bake_s, 2)}
     else:
         render = make_image_renderer(rc, H, W, args.tile_rays)

@@ -64,11 +64,25 @@ def build(args):
             make_baked_image_renderer,
         )
 
-        print(f"baking snapshot at {args.baked_res}^3 ...")
-        t0 = time.perf_counter()
-        baked = bake_field(state["params"], cfg.render.field,
-                           resolution=args.baked_res)
-        print(f"baked in {time.perf_counter() - t0:.1f}s")
+        import os as _os
+
+        from indoor_nerf_tpu.render.baked import load_baked, save_baked
+
+        snap = getattr(args, "snapshot", None)
+        if snap and _os.path.exists(snap):
+            baked = load_baked(snap)
+            print(f"loaded snapshot {snap}")
+        else:
+            print(f"baking snapshot at {args.baked_res}^3 ...")
+            t0 = time.perf_counter()
+            baked = bake_field(state["params"], cfg.render.field,
+                               resolution=args.baked_res,
+                               table_dtype=getattr(args, "baked_dtype",
+                                                   "bfloat16"))
+            print(f"baked in {time.perf_counter() - t0:.1f}s")
+            if snap:
+                save_baked(snap, baked)
+                print(f"saved snapshot to {snap}")
         baked_renderer = make_baked_image_renderer(baked, int(H), int(W))
 
         def render(c2w):
@@ -102,6 +116,11 @@ def main():
                     help="bake the field at startup; serve from the "
                          "deferred-shading snapshot (render/baked.py)")
     ap.add_argument("--baked_res", type=int, default=256)
+    ap.add_argument("--baked_dtype", default="bfloat16",
+                    choices=["bfloat16", "float32", "int8"])
+    ap.add_argument("--snapshot", default=None,
+                    help="path to save/load the baked snapshot (loads it "
+                         "if the file exists, else bakes and saves)")
     ap.add_argument("train_args", nargs=argparse.REMAINDER,
                     help="the training CLI flags identifying the run "
                          "(e.g. --config configs/chair.txt ...)")

@@ -134,3 +134,25 @@ def test_baked_render_matches_online():
     # it must stay within a few dB of the online render, not collapse.
     assert psnr_baked > 18.0, (psnr_baked, psnr_online)
     assert psnr_baked > psnr_online - 6.0, (psnr_baked, psnr_online)
+
+    # int8 snapshot (log-space sigma + per-feature geo scales) stays within
+    # ~1 dB of the float bake, and survives a save/load round trip.
+    import os
+    import tempfile
+
+    from indoor_nerf_tpu.render.baked import load_baked, save_baked
+
+    baked8 = bake_field(state["params"], fc, resolution=64,
+                        table_dtype="int8", blocks_per_chunk=256)
+    assert baked8["sigma_table"].dtype == jnp.int8
+    assert baked8["voxel_geo"].dtype == jnp.int8
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "snap.msgpack")
+        save_baked(p, baked8)
+        baked8 = load_baked(p)
+    render8 = make_baked_image_renderer(baked8, H, W, tile_rays=1024,
+                                        n_samples=96)
+    rgb8 = np.asarray(render8(c2w, scene["K"], scene["near"],
+                              scene["far"])["rgb_map"])
+    psnr8 = -10 * np.log10(np.mean((rgb8 - gt) ** 2))
+    assert psnr8 > psnr_baked - 1.5, (psnr8, psnr_baked)
