@@ -37,6 +37,7 @@ same parameter budget as the reference log2_hashmap_size=19 tables.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Tuple
 
 import jax
@@ -76,6 +77,17 @@ class BlockHashConfig:
     # fetch + row-cotangent) by casting the f32 master table before the
     # gather; interpolation and the table scatter-add stay f32.
     gather_dtype: str = "float32"
+    # Backward precision: "bfloat16" switches the encode to a fused custom
+    # VJP that forms the tent-product cotangent rows directly in bfloat16
+    # and scatter-accumulates them in bfloat16 before one cheap f32 cast of
+    # the [L*R, F*128] gradient table. The table master (and the optimizer)
+    # stay f32. Measured: the f32 backward is byte-bound on materializing +
+    # re-reading ~4.3 GB of cotangent rows per 262k-point batch; bf16 halves
+    # it. NOTE: in this mode the encode returns ZERO gradient w.r.t. the
+    # input points — sound for every training path here (ray origins/dirs
+    # are data and hierarchical z-samples are stop_gradient'ed,
+    # render/renderer.py), asserted nowhere else.
+    scatter_dtype: str = "float32"
 
     @property
     def rows_per_level(self) -> int:
@@ -168,17 +180,16 @@ def block_tv_loss(
     return total
 
 
-def block_hash_encode(
-    x: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Encode ``[N, 3]`` points -> (features ``[N, L*F]``, keep_mask ``[N]``).
+def _tile_coords(
+    x: jnp.ndarray, config: BlockHashConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-(point, level) table row + in-tile position.
 
-    Drop-in equivalent of hash_encode (same bbox clamp semantics,
-    reference utils.py:95-117) with the block-tile memory layout.
-    """
+    Returns (flat_row ``[N*L]`` int32, p ``[N*L, 3]`` f32 position within the
+    5^3 tile, keep_mask ``[N]`` bool). Same bbox clamp semantics as the
+    reference (utils.py:95-117)."""
     n = x.shape[0]
     L = config.n_levels
-    F = config.n_features_per_level
     R = config.rows_per_level
 
     box_min = jnp.asarray(config.bbox_min, jnp.float32)
@@ -201,11 +212,32 @@ def block_hash_encode(
 
     levels = jnp.arange(L, dtype=jnp.int32)
     row = _block_row_hash(block, levels[None, :], config.log2_rows)  # [N, L]
-    flat_row = (levels[None, :] * R + row.astype(jnp.int32)).reshape(-1)  # [N*L]
+    flat_row = (levels[None, :] * R + row.astype(jnp.int32)).reshape(-1)
+    p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
+    return flat_row, p, keep_mask
 
-    # ONE wide gather per (point, level): [N*L, F*128]. Optionally move the
-    # rows (and their backward cotangent) in bfloat16 — the 33 MB table cast
-    # is negligible next to the GBs of row traffic it halves.
+
+def _gather_interp(
+    table: jnp.ndarray, flat_row: jnp.ndarray, p: jnp.ndarray,
+    config: BlockHashConfig,
+) -> jnp.ndarray:
+    """ONE wide gather per (point, level) + tent-product interpolation.
+
+    Trilinear interpolation as an exact TENT-PRODUCT CONTRACTION over the
+    whole 5^3 tile: the per-axis hat function tent(t) = max(0, 1 - |t|)
+    evaluated at every tile vertex is zero except at the two vertices
+    bracketing the point, and their weights are exactly (1-w), w — so
+      feat[f] = sum_{xyz} tile[f,x,y,z] * tx[x] * ty[y] * tz[z]
+    IS trilinear interpolation, expressed as three tiny batched
+    contractions (pure MXU/VPU work that XLA fuses with the row gather)
+    instead of an 8-way dynamic corner select. Lanes >= 125 get zero tent
+    weight (dead padding). Default is the pure-XLA form (measured FASTER
+    end-to-end than the Pallas tile_interp kernel: the custom-VJP boundary
+    blocks XLA from fusing the weight math into the gather/scatter — see
+    BENCH_NOTES.md); flip USE_TILE_INTERP_KERNEL to re-evaluate on new
+    hardware/compilers. Optionally move the rows (and, under XLA autodiff,
+    their backward cotangent) in bfloat16 — the 33 MB table cast is
+    negligible next to the GBs of row traffic it halves."""
     src = table
     if config.gather_dtype == "bfloat16":
         src = table.astype(jnp.bfloat16)
@@ -213,27 +245,84 @@ def block_hash_encode(
     if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)
 
-    # Trilinear interpolation as an exact TENT-PRODUCT CONTRACTION over the
-    # whole 5^3 tile: the per-axis hat function tent(t) = max(0, 1 - |t|)
-    # evaluated at every tile vertex is zero except at the two vertices
-    # bracketing the point, and their weights are exactly (1-w), w — so
-    #   feat[f] = sum_{xyz} tile[f,x,y,z] * tx[x] * ty[y] * tz[z]
-    # IS trilinear interpolation, expressed as three tiny batched
-    # contractions (pure MXU/VPU work that XLA fuses with the row gather)
-    # instead of an 8-way dynamic corner select.
-    # Tent-product interpolation over the tile. Lane coordinates decode the
-    # 5^3 tile; lanes >= 125 get zero tent weight (dead padding). Default is
-    # the pure-XLA form (measured FASTER end-to-end than the Pallas
-    # tile_interp kernel: the custom-VJP boundary blocks XLA from fusing the
-    # weight math into the gather/scatter — see BENCH_NOTES.md); flip
-    # USE_TILE_INTERP_KERNEL to re-evaluate on new hardware/compilers.
-    p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
     if USE_TILE_INTERP_KERNEL:
         from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
 
-        out = tile_interp(rows, p)  # [N*L, F]
-    else:
-        from indoor_nerf_tpu.ops.pallas.tile_interp import _reference_interp
+        return tile_interp(rows, p)  # [N*L, F]
+    from indoor_nerf_tpu.ops.pallas.tile_interp import _reference_interp
 
-        out = _reference_interp(rows, p)
+    return _reference_interp(rows, p)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _encode_fused(
+    table: jnp.ndarray, x: jnp.ndarray, config: BlockHashConfig
+) -> jnp.ndarray:
+    """Encode with a hand-written low-precision backward (scatter_dtype).
+
+    Forward is the SAME XLA program as the default path (full fusion
+    preserved — custom_vjp only changes what the transpose does). Backward
+    forms the cotangent rows cot[m, f*128+lane] = g[m, f] * tent(m, lane)
+    directly in ``scatter_dtype`` and scatter-accumulates them into a
+    ``scatter_dtype`` gradient table, casting to f32 once at the end
+    ([L*R, F*128] ~ 32 MB — cheap). This halves the ~2x4.3 GB/step of
+    cotangent HBM traffic that makes the f32 backward byte-bound.
+
+    Gradient w.r.t. the input points is ZERO (documented in
+    BlockHashConfig.scatter_dtype)."""
+    flat_row, p, _ = _tile_coords(x, config)
+    return _gather_interp(table, flat_row, p, config)
+
+
+def _encode_fused_fwd(table, x, config):
+    flat_row, p, _ = _tile_coords(x, config)
+    out = _gather_interp(table, flat_row, p, config)
+    return out, (flat_row, p)
+
+
+def _encode_fused_bwd(config, res, g):
+    from indoor_nerf_tpu.ops.pallas.tile_interp import _w_lane
+
+    flat_row, p = res
+    dt = jnp.bfloat16
+    w, _ = _w_lane(p[:, 0:1], p[:, 1:2], p[:, 2:3])  # [M, 128] f32
+    w = w.astype(dt)
+    cot = jnp.concatenate(
+        [g[:, f : f + 1].astype(dt) * w for f in range(g.shape[1])], axis=1
+    )  # [M, F*128]
+    shape = (
+        config.n_levels * config.rows_per_level,
+        config.n_features_per_level * LANES,
+    )
+    grad_table = (
+        jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
+    )
+    dx = jnp.zeros((flat_row.shape[0] // config.n_levels, 3), jnp.float32)
+    return grad_table, dx
+
+
+_encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
+
+
+def block_hash_encode(
+    x: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Encode ``[N, 3]`` points -> (features ``[N, L*F]``, keep_mask ``[N]``).
+
+    Drop-in equivalent of hash_encode (same bbox clamp semantics,
+    reference utils.py:95-117) with the block-tile memory layout.
+    """
+    n = x.shape[0]
+    L = config.n_levels
+    F = config.n_features_per_level
+
+    box_min = jnp.asarray(config.bbox_min, jnp.float32)
+    box_max = jnp.asarray(config.bbox_max, jnp.float32)
+    keep_mask = jnp.all((x >= box_min) & (x <= box_max), axis=-1)
+
+    if config.scatter_dtype == "bfloat16":
+        out = _encode_fused(table, x, config)
+    else:
+        flat_row, p, _ = _tile_coords(x, config)
+        out = _gather_interp(table, flat_row, p, config)
     return out.reshape(n, L * F), keep_mask

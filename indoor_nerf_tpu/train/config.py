@@ -134,6 +134,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--seed", type=int, default=0, help="global PRNG seed")
     add("--precision", type=str, default="f32", choices=["f32", "bf16"],
         help="activation precision on TPU")
+    add("--block_io", type=str, default="f32", choices=["f32", "bf16"],
+        help="block-hash table HBM traffic precision (i_embed 3): bf16 "
+             "halves the byte-bound row gather AND switches the encode "
+             "backward to the fused bfloat16 cotangent scatter "
+             "(ops/blockhash.py); the table master and optimizer stay f32")
     add("--use_pallas", action="store_true",
         help="use the fused Pallas hash-encode kernel where available")
     add("--profile_dir", type=str, default=None,

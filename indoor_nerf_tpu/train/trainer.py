@@ -107,6 +107,8 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             log2_rows=max(4, args.log2_hashmap_size - 7),
             base_resolution=16,
             finest_resolution=args.finest_res,
+            gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
+            scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",
         )
     quant = QuantConfig(
         init_bits=float(args.quantization_bits),

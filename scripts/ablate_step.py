@@ -1,0 +1,295 @@
+"""Ablation timing of the flagship train step: where do the milliseconds go?
+
+Times each constituent of the block+occupancy train step (the bench.py
+configuration) as its own scanned compiled program on the real chip, so the
+sum of parts can be compared against the whole. All timing windows are
+closed with an actual value transfer (float(...)) per the axon-tunnel rule
+(CLAUDE.md): jax.block_until_ready can return early through the tunnel.
+
+Usage: PYTHONPATH=. python scripts/ablate_step.py [--steps 20]
+Writes tpu_ablate_step.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--out", type=str, default="tpu_ablate_step.json")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bfloat16 gather + fused bfloat16 scatter backward")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from indoor_nerf_tpu.models.field import FieldConfig, init_field_params
+    from indoor_nerf_tpu.ops.blockhash import (
+        BlockHashConfig,
+        block_hash_encode,
+    )
+    from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+    from indoor_nerf_tpu.render.renderer import RenderConfig, render_rays
+    from indoor_nerf_tpu.train.optim import (
+        init_radam_state,
+        pocketnerf_hyper_fn,
+        radam_update,
+    )
+    from indoor_nerf_tpu.train.step import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    n_rand = 4096
+    n_samples = 64
+    bbox = 1.5
+    bb = ((-bbox,) * 3, (bbox,) * 3)
+    io = dict(gather_dtype="bfloat16", scatter_dtype="bfloat16") if args.bf16 else {}
+    block_grid = BlockHashConfig(
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=16, log2_rows=12,
+        base_resolution=16, finest_resolution=512, **io,
+    )
+    occupancy = OccupancyConfig(
+        bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
+    )
+    fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=n_samples, n_importance=0,
+                      white_bkgd=True, occupancy=occupancy,
+                      n_occ_samples=n_samples)
+    cfg = TrainConfig(render=rc, near=2.0, far=6.0, n_rand=n_rand)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n_rand, 3))
+    o = 4.0 * d / np.linalg.norm(d, axis=-1, keepdims=True)
+    aim = rng.uniform(-bbox, bbox, size=(n_rand, 3))
+    dirs = aim - o
+    batch = {
+        "rays_o": jnp.asarray(o, jnp.float32),
+        "rays_d": jnp.asarray(
+            dirs / np.linalg.norm(dirs, axis=-1, keepdims=True), jnp.float32
+        ),
+        "target": jnp.asarray(rng.uniform(size=(n_rand, 3)), jnp.float32),
+    }
+    viewdirs = batch["rays_d"]
+    near = cfg.near * jnp.ones((n_rand, 1))
+    far = cfg.far * jnp.ones((n_rand, 1))
+
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    n_steps = args.steps
+    results = {}
+
+    def timed(name, make_program, *operands):
+        """make_program(*operands) -> scalar-returning jitted fn; scan-looped."""
+        fn = make_program(*operands)
+        out = fn(*operands)
+        float(out)  # compile + drain
+        t0 = time.perf_counter()
+        out = fn(*operands)
+        float(out)
+        dt = (time.perf_counter() - t0) / n_steps * 1000.0
+        results[name] = round(dt, 2)
+        print(f"{name:34s} {dt:8.2f} ms")
+
+    # --- 1. full train step -------------------------------------------------
+    def make_full(state, batch):
+        @jax.jit
+        def run(state, batch):
+            def body(carry, k):
+                st, _ = carry
+                st, metrics = train_step(st, batch, k, cfg)
+                return (st, metrics["loss"]), None
+            keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+            (st, loss), _ = jax.lax.scan(body, (state, jnp.zeros(())), keys)
+            return loss
+        return run
+
+    timed("full_train_step", make_full, state, batch)
+
+    # --- 2. value_and_grad(render loss) only (no radam / occ refresh) -------
+    def make_vag(state, batch):
+        @jax.jit
+        def run(state, batch):
+            def loss_fn(params, key):
+                out, _ = render_rays(
+                    key, params, batch["rays_o"], batch["rays_d"], viewdirs,
+                    near, far, rc, quant_state=None, train=True,
+                    step=state["step"], occ_state=state["occ"],
+                )
+                return jnp.mean((out["rgb_map"] - batch["target"]) ** 2)
+
+            def body(carry, k):
+                acc, params = carry
+                loss, grads = jax.value_and_grad(loss_fn)(params, k)
+                # feed grads back so the scan carries the work
+                params = jax.tree_util.tree_map(
+                    lambda p, g: p - 1e-9 * g, params, grads)
+                return (acc + loss, params), None
+            keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+            (loss, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), state["params"]), keys)
+            return loss
+        return run
+
+    timed("render_loss_fwd_bwd", make_vag, state, batch)
+
+    # --- 3. render forward only ---------------------------------------------
+    def make_fwd(state, batch):
+        @jax.jit
+        def run(state, batch):
+            def body(carry, k):
+                acc, ro = carry
+                out, _ = render_rays(
+                    k, state["params"], ro, batch["rays_d"], viewdirs,
+                    near, far, rc, quant_state=None, train=True,
+                    step=state["step"], occ_state=state["occ"],
+                )
+                s = jnp.sum(out["rgb_map"])
+                return (acc + s, ro + 1e-20 * s), None
+            keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), batch["rays_o"]), keys)
+            return acc
+        return run
+
+    timed("render_fwd_only", make_fwd, state, batch)
+
+    # --- 4/5. encode fwd / fwd+bwd at the step's point count ----------------
+    n_pts = n_rand * n_samples
+    pts = jnp.asarray(
+        rng.uniform(-bbox, bbox, size=(n_pts, 3)), jnp.float32)
+    table = state["params"]["table"]
+
+    def make_enc_fwd(table, pts):
+        @jax.jit
+        def run(table, pts):
+            def body(carry, _):
+                acc, p = carry
+                feats, _ = block_hash_encode(p, table, block_grid)
+                s = jnp.sum(feats)
+                return (acc + s, p + 1e-20 * s), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), pts), None, length=n_steps)
+            return acc
+        return run
+
+    timed("encode_fwd", make_enc_fwd, table, pts)
+
+    def make_enc_bwd(table, pts):
+        @jax.jit
+        def run(table, pts):
+            def loss(tb, p):
+                feats, _ = block_hash_encode(p, tb, block_grid)
+                return jnp.sum(feats ** 2)
+
+            def body(carry, _):
+                acc, tb = carry
+                l, g = jax.value_and_grad(loss)(tb, pts)
+                return (acc + l, tb - 1e-9 * g), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), table), None, length=n_steps)
+            return acc
+        return run
+
+    timed("encode_fwd_bwd", make_enc_bwd, table, pts)
+
+    # --- 6/7. raw row gather fwd / fwd+bwd (the memory op alone) ------------
+    n_rows_total = table.shape[0]
+    idx = jnp.asarray(
+        rng.integers(0, n_rows_total, size=(n_pts * block_grid.n_levels,)),
+        jnp.int32)
+
+    def make_gather_fwd(table, idx):
+        @jax.jit
+        def run(table, idx):
+            def body(carry, _):
+                acc, tb = carry
+                rows = jnp.take(tb, idx, axis=0)
+                s = jnp.sum(rows)
+                return (acc + s, tb + 1e-20 * s), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), table), None, length=n_steps)
+            return acc
+        return run
+
+    timed("row_gather_fwd", make_gather_fwd, table, idx)
+
+    def make_gather_bwd(table, idx):
+        @jax.jit
+        def run(table, idx):
+            def loss(tb):
+                rows = jnp.take(tb, idx, axis=0)
+                return jnp.sum(rows ** 2)
+
+            def body(carry, _):
+                acc, tb = carry
+                l, g = jax.value_and_grad(loss)(tb)
+                return (acc + l, tb - 1e-9 * g), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), table), None, length=n_steps)
+            return acc
+        return run
+
+    timed("row_gather_fwd_bwd", make_gather_bwd, table, idx)
+
+    # --- 8. RAdam update alone ----------------------------------------------
+    def make_radam(params):
+        opt = init_radam_state(params)
+
+        @jax.jit
+        def run(params):
+            opt0 = init_radam_state(params)
+
+            def body(carry, _):
+                params, opt = carry
+                grads = jax.tree_util.tree_map(lambda p: p * 1e-6, params)
+                params, opt = radam_update(
+                    grads, opt, params, 0.01, pocketnerf_hyper_fn)
+                return (params, opt), None
+            (params, opt), _ = jax.lax.scan(
+                body, (params, opt0), None, length=n_steps)
+            return jnp.sum(params["table"])
+        return run
+
+    timed("radam_update_only", make_radam, state["params"])
+
+    # --- 9. occupancy refresh alone -----------------------------------------
+    from indoor_nerf_tpu.models.field import sigma_query
+    from indoor_nerf_tpu.ops.occupancy import occupancy_update
+
+    def make_occ(state):
+        @jax.jit
+        def run(state):
+            def body(carry, k):
+                occ, acc = carry
+                occ = occupancy_update(
+                    k, occ,
+                    lambda p: sigma_query(state["params"], "coarse", p, fc),
+                    occupancy,
+                )
+                return (occ, acc + jnp.sum(occ["density"])), None
+            keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+            (occ, acc), _ = jax.lax.scan(body, (state["occ"], jnp.zeros(())), keys)
+            return acc
+        return run
+
+    timed("occupancy_refresh_only", make_occ, state)
+
+    results["_config"] = {
+        "n_rand": n_rand, "n_samples": n_samples, "n_steps": n_steps,
+        "n_points": n_pts, "rows_gathered": int(idx.shape[0]),
+    }
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -130,6 +130,37 @@ def test_block_encode_gradients_flow(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
+def test_block_encode_fused_bf16_backward(rng):
+    """scatter_dtype='bfloat16': forward bit-identical, gradient close to the
+    f32 autodiff transpose, zero point-position cotangent (documented)."""
+    import dataclasses
+
+    cfg16 = dataclasses.replace(CFG, scatter_dtype="bfloat16")
+    # Scale up so bf16 relative error is visible against the tiny init.
+    table = init_block_table(jax.random.PRNGKey(0), CFG) * 1e4
+    x = jnp.asarray(rng.uniform(-0.95, 0.95, size=(512, 3)), jnp.float32)
+
+    f32, m32 = block_hash_encode(x, table, CFG)
+    f16, m16 = block_hash_encode(x, table, cfg16)
+    np.testing.assert_array_equal(np.asarray(f32), np.asarray(f16))
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m16))
+
+    def loss(t, cfg):
+        f, _ = block_hash_encode(x, t, cfg)
+        return jnp.sum(f**2)
+
+    g32 = jax.grad(lambda t: loss(t, CFG))(table)
+    g16 = jax.grad(lambda t: loss(t, cfg16))(table)
+    rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
+    assert rel < 0.02, rel
+    assert g16.dtype == jnp.float32
+
+    gx = jax.grad(
+        lambda xx: jnp.sum(block_hash_encode(xx, table, cfg16)[0] ** 2)
+    )(x)
+    assert float(jnp.sum(jnp.abs(gx))) == 0.0
+
+
 @pytest.mark.slow
 def test_blockhash_training_converges():
     """The block-hash field trains to the same quality class as exact NGP."""
