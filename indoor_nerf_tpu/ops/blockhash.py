@@ -32,6 +32,13 @@ collisions introduce comparable same-level noise at fine resolutions.
 
 Capacity parity: rows_per_level=2^12 x 125 vertices ~= 2^19 entries — the
 same parameter budget as the reference log2_hashmap_size=19 tables.
+
+Two tile layouts (BlockHashConfig.block_size):
+- 4 (default): 5^3 = 125-vertex tiles in 128 lanes, F x 128-lane rows.
+- 3: 4^3 = 64-vertex tiles — with F=2 one row is EXACTLY one 128-lane f32
+  vector (512 B), halving HBM bytes per (point, level) on both the forward
+  gather and the backward cotangent scatter at ~21% more halo overhead
+  (capacity parity wants log2_rows one larger).
 """
 
 from __future__ import annotations
@@ -47,15 +54,18 @@ import numpy as np
 from indoor_nerf_tpu.ops.encoding import level_resolutions, HashGridConfig
 from indoor_nerf_tpu.ops.hashing import BOX_OFFSETS
 
-BLOCK = 4  # voxels per block edge; 5^3 = 125 vertices <= 128 lanes
+BLOCK = 4  # default voxels per block edge; 5^3 = 125 vertices <= 128 lanes
 USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
 SIDE = BLOCK + 1
 LANES = 128
 
-# Per-level block-partition stagger (vertex units); decorrelates the block
-# faces across levels so single-level C0 seams never align.
-_STAGGER = np.array([[(3 * l) % BLOCK, (2 * l + 1) % BLOCK, (l + 2) % BLOCK]
-                     for l in range(64)], dtype=np.int32)
+
+def _stagger(n_levels: int, block: int) -> np.ndarray:
+    """Per-level block-partition stagger (vertex units); decorrelates the
+    block faces across levels so single-level C0 seams never align."""
+    return np.array(
+        [[(3 * l) % block, (2 * l + 1) % block, (l + 2) % block]
+         for l in range(n_levels)], dtype=np.int32)
 
 _BLOCK_PRIMES = np.array(
     [2654435761, 805459861, 3674653429, 2097192037], dtype=np.uint32
@@ -88,10 +98,25 @@ class BlockHashConfig:
     # are data and hierarchical z-samples are stop_gradient'ed,
     # render/renderer.py), asserted nowhere else.
     scatter_dtype: str = "float32"
+    # Voxels per block edge. 4 -> 5^3 = 125-vertex tiles in 128 lanes (3
+    # dead); 3 -> 4^3 = 64-vertex tiles, so one F=2 row is EXACTLY one
+    # 128-lane f32 vector (512 B) — half the HBM bytes per (point, level)
+    # of the 5^3 layout on both the forward row gather and the backward
+    # cotangent scatter, at ~21% more halo-storage overhead per vertex
+    # (capacity parity then wants log2_rows one larger).
+    block_size: int = 4
 
     @property
     def rows_per_level(self) -> int:
         return 1 << self.log2_rows
+
+    @property
+    def side(self) -> int:
+        return self.block_size + 1
+
+    @property
+    def lanes_per_feature(self) -> int:
+        return 128 if self.side**3 > 64 else 64
 
     @property
     def out_dim(self) -> int:
@@ -110,12 +135,12 @@ class BlockHashConfig:
 
 
 def init_block_table(key: jax.Array, config: BlockHashConfig) -> jnp.ndarray:
-    """Fused table ``[L * R, F * 128]`` ~ U(-1e-4, 1e-4), matching the
-    reference embedding init scale (hash_encoding.py:33-34). Lanes >= 125
-    are dead padding."""
+    """Fused table ``[L * R, F * lanes_per_feature]`` ~ U(-1e-4, 1e-4),
+    matching the reference embedding init scale (hash_encoding.py:33-34).
+    Lanes >= side^3 within each feature group are dead padding."""
     shape = (
         config.n_levels * config.rows_per_level,
-        config.n_features_per_level * LANES,
+        config.n_features_per_level * config.lanes_per_feature,
     )
     return jax.random.uniform(key, shape, jnp.float32, minval=-1e-4, maxval=1e-4)
 
@@ -142,42 +167,46 @@ def block_tv_loss(
 
     Equivalent role to the hash-table TV loss (reference: loss.py:11-43):
     penalizes squared differences between spatially adjacent vertices.
-    Within a tile, the +z/+y/+x neighbors of lane l are lanes l+1 / l+5 /
-    l+25, so the diffs are lane-rolls with static validity masks — pure
-    [rows, 128] elementwise work (no gathers, no tiny-dim arrays). A random
+    Within a tile, the +z/+y/+x neighbors of lane l are lanes l+1 / l+side /
+    l+side^2, so the diffs are lane-rolls with static validity masks — pure
+    [rows, lanes] elementwise work (no gathers, no tiny-dim arrays). A random
     subset of rows per level is sampled each call, mirroring the
     reference's random-cube subsampling.
     """
     L = config.n_levels
     F = config.n_features_per_level
     R = config.rows_per_level
+    side = config.side
+    lpf = config.lanes_per_feature
     m = min(rows_per_level, R)
 
-    lane = np.arange(LANES)
-    lx, ly, lz = lane // (SIDE * SIDE), (lane // SIDE) % SIDE, lane % SIDE
-    in_tile = (lx < SIDE).astype(np.float32) * (lane < SIDE**3)
-    mask_z = jnp.asarray(((lz < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
-    mask_y = jnp.asarray(((ly < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
-    mask_x = jnp.asarray(((lx < SIDE - 1) & (lane < SIDE**3)).astype(np.float32))
+    lane = np.arange(lpf)
+    lx, ly, lz = lane // (side * side), (lane // side) % side, lane % side
+    live = lane < side**3
+    mask_z = jnp.asarray(((lz < side - 1) & live).astype(np.float32))
+    mask_y = jnp.asarray(((ly < side - 1) & live).astype(np.float32))
+    mask_x = jnp.asarray(((lx < side - 1) & live).astype(np.float32))
 
-    keys = jax.random.split(key, L)
-    total = jnp.zeros((), jnp.float32)
-    for level in range(L):
-        rows_idx = jax.random.randint(keys[level], (m,), 0, R) + level * R
-        rows = jnp.take(table, rows_idx, axis=0)  # [m, F*128]
-        x = rows.reshape(m * F, LANES)
+    # ONE gather across all levels (a per-level python loop of jnp.take
+    # transposes into L separate full-table-sized scatter-adds in the
+    # backward — ~2 GB of extra HBM traffic per step while TV is active).
+    levels = jnp.arange(L, dtype=jnp.int32)
+    rows_idx = (
+        jax.random.randint(key, (L, m), 0, R) + levels[:, None] * R
+    ).reshape(-1)
+    rows = jnp.take(table, rows_idx, axis=0)  # [L*m, F*lpf]
+    x = rows.reshape(L * m * F, lpf)
 
-        def shifted(x, k):
-            return jnp.roll(x, -k, axis=1)
+    def shifted(x, k):
+        return jnp.roll(x, -k, axis=1)
 
-        tv = (
-            jnp.sum(mask_z * (shifted(x, 1) - x) ** 2)
-            + jnp.sum(mask_y * (shifted(x, SIDE) - x) ** 2)
-            + jnp.sum(mask_x * (shifted(x, SIDE * SIDE) - x) ** 2)
-        )
-        # Normalize like the reference's /cube_size (per sampled extent).
-        total = total + tv / m
-    return total
+    tv = (
+        jnp.sum(mask_z * (shifted(x, 1) - x) ** 2)
+        + jnp.sum(mask_y * (shifted(x, side) - x) ** 2)
+        + jnp.sum(mask_x * (shifted(x, side * side) - x) ** 2)
+    )
+    # Normalize like the reference's /cube_size (per sampled extent).
+    return tv / m
 
 
 def _tile_coords(
@@ -205,10 +234,11 @@ def _tile_coords(
     w = rel - bl.astype(jnp.float32)  # trilinear weights [N, L, 3]
 
     # Staggered block partition (per-level shift of the vertex lattice).
-    stagger = jnp.asarray(_STAGGER[:L])  # [L, 3]
+    B = config.block_size
+    stagger = jnp.asarray(_stagger(L, B))  # [L, 3]
     v0 = bl + stagger[None, :, :]
-    block = v0 // BLOCK  # [N, L, 3]
-    local0 = v0 - block * BLOCK  # in [0, BLOCK)
+    block = v0 // B  # [N, L, 3]
+    local0 = v0 - block * B  # in [0, B)
 
     levels = jnp.arange(L, dtype=jnp.int32)
     row = _block_row_hash(block, levels[None, :], config.log2_rows)  # [N, L]
@@ -245,13 +275,33 @@ def _gather_interp(
     if rows.dtype != jnp.float32:
         rows = rows.astype(jnp.float32)
 
-    if USE_TILE_INTERP_KERNEL:
+    if USE_TILE_INTERP_KERNEL and config.block_size == BLOCK:
         from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
 
         return tile_interp(rows, p)  # [N*L, F]
-    from indoor_nerf_tpu.ops.pallas.tile_interp import _reference_interp
+    lpf = config.lanes_per_feature
+    w = _tent_weights(p, config.side, lpf)
+    outs = [
+        jnp.sum(rows[:, f * lpf : (f + 1) * lpf] * w, axis=1, keepdims=True)
+        for f in range(config.n_features_per_level)
+    ]
+    return jnp.concatenate(outs, axis=1)
 
-    return _reference_interp(rows, p)
+
+def _tent_weights(p: jnp.ndarray, side: int, lanes: int) -> jnp.ndarray:
+    """Tent-product weights ``[M, lanes]`` for in-tile positions ``[M, 3]``.
+
+    Lane l decodes to tile vertex (l//side^2, (l//side)%side, l%side); pad
+    lanes >= side^3 decode to x >= side and get zero tent weight naturally
+    (p stays within [0, side-1])."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], lanes), 1)
+    lx = (lane // (side * side)).astype(jnp.float32)
+    ly = ((lane // side) % side).astype(jnp.float32)
+    lz = (lane % side).astype(jnp.float32)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - p[:, 0:1]))
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - p[:, 1:2]))
+    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - p[:, 2:3]))
+    return tx * ty * tz
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -281,18 +331,16 @@ def _encode_fused_fwd(table, x, config):
 
 
 def _encode_fused_bwd(config, res, g):
-    from indoor_nerf_tpu.ops.pallas.tile_interp import _w_lane
-
     flat_row, p = res
     dt = jnp.bfloat16
-    w, _ = _w_lane(p[:, 0:1], p[:, 1:2], p[:, 2:3])  # [M, 128] f32
+    w = _tent_weights(p, config.side, config.lanes_per_feature)  # [M, lpf]
     w = w.astype(dt)
     cot = jnp.concatenate(
         [g[:, f : f + 1].astype(dt) * w for f in range(g.shape[1])], axis=1
-    )  # [M, F*128]
+    )  # [M, F*lpf]
     shape = (
         config.n_levels * config.rows_per_level,
-        config.n_features_per_level * LANES,
+        config.n_features_per_level * config.lanes_per_feature,
     )
     grad_table = (
         jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)

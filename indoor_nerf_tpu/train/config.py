@@ -131,9 +131,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="training iterations (reference hard-codes 8000, run_nerf.py:923)")
     add("--mesh_shape", type=str, default=None,
         help="device mesh as 'data' or 'data:4,model:2'; default = all chips on data")
+    add("--multihost", action="store_true",
+        help="initialize jax.distributed for multi-controller pod training "
+             "(run the same command on every host); each host samples "
+             "N_rand/process_count rays and the global batch is assembled "
+             "with make_array_from_process_local_data")
     add("--seed", type=int, default=0, help="global PRNG seed")
     add("--precision", type=str, default="f32", choices=["f32", "bf16"],
         help="activation precision on TPU")
+    add("--block_size", type=int, default=4, choices=[4, 3],
+        help="block-hash tile: 4 -> 5^3-vertex tiles in 128 lanes (1 KB f32 "
+             "rows); 3 -> 4^3-vertex tiles exactly filling 128 lanes with "
+             "F=2 (512 B rows — half the HBM bytes per point-level)")
     add("--block_io", type=str, default="f32", choices=["f32", "bf16"],
         help="block-hash table HBM traffic precision (i_embed 3): bf16 "
              "halves the byte-bound row gather AND switches the encode "

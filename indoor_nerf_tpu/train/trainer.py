@@ -104,11 +104,15 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             bbox_max=scene.bounding_box[1],
             n_levels=16,
             n_features_per_level=2,
-            log2_rows=max(4, args.log2_hashmap_size - 7),
+            # Capacity parity: rows * vertices-per-tile ~= 2^log2T entries.
+            log2_rows=max(
+                4, args.log2_hashmap_size - (7 if args.block_size == 4 else 6)
+            ),
             base_resolution=16,
             finest_resolution=args.finest_res,
             gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
             scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",
+            block_size=args.block_size,
         )
     quant = QuantConfig(
         init_bits=float(args.quantization_bits),
@@ -188,6 +192,23 @@ def _quant_bits(state) -> Optional[Dict[str, np.ndarray]]:
 
 def train(args) -> Dict:
     """Full training run; returns the time_metrics summary dict."""
+    # Multi-host (multi-controller) training: every host runs this same
+    # program; jax.distributed wires the pod together so jax.devices() spans
+    # all hosts and the pjit mesh/collectives ride ICI. Coordinator address
+    # etc. come from the TPU environment (auto-detected on Cloud TPU).
+    if getattr(args, "multihost", False):
+        from jax import distributed as jax_distributed
+
+        jax_distributed.initialize()
+        # On a shared filesystem only one writer may own the logdir
+        # artifacts; non-zero processes still compute (collectives need
+        # every host) but skip checkpoint/figure writes.
+        print(
+            f"[multihost] process {jax.process_index()}/{jax.process_count()}"
+            f" local_devices={len(jax.local_devices())}"
+            f" global_devices={len(jax.devices())}"
+        )
+
     # Auto-enable normal prediction for structural priors
     # (reference: run_nerf.py:723-728).
     if args.use_structural_priors and not args.predict_normals:
@@ -301,12 +322,22 @@ def train(args) -> Dict:
     # toolchain allows, with the numpy sampler as fallback.
     use_batching = not args.no_batching
     # Per-host sampling: on a multi-host pod each host draws an independent
-    # ray stream for its local devices (SURVEY.md §2 parallelism item 4).
+    # ray stream for its local devices (SURVEY.md §2 parallelism item 4) and
+    # contributes N_rand / process_count rays of the global batch, assembled
+    # into one globally-sharded array below (the multi-controller analogue
+    # of the reference's single-GPU ray pool, run_nerf.py:899-920).
+    n_proc = jax.process_count()
+    if args.N_rand % n_proc != 0:
+        raise ValueError(
+            f"N_rand={args.N_rand} must divide evenly over "
+            f"{n_proc} host processes"
+        )
+    local_n_rand = args.N_rand // n_proc
     host_seed = args.seed + 7919 * jax.process_index()
     if use_batching:
         sampler = BatchedRaySampler(
             scene.images, scene.poses, scene.i_train, H, W, K,
-            args.N_rand, seed=host_seed,
+            local_n_rand, seed=host_seed,
         )
         try:
             from indoor_nerf_tpu.native.batcher import (
@@ -316,7 +347,7 @@ def train(args) -> Dict:
 
             if native_available():
                 native = NativeRayBatcher(
-                    sampler.rays_rgb, args.N_rand, seed=host_seed
+                    sampler.rays_rgb, local_n_rand, seed=host_seed
                 )
                 sampler = native
                 print("[data] native C++ ray batcher active")
@@ -325,11 +356,25 @@ def train(args) -> Dict:
         sample = lambda i: sampler.next()
     else:
         sampler = ImageRaySampler(
-            scene.images, scene.poses, scene.i_train, H, W, K, args.N_rand,
+            scene.images, scene.poses, scene.i_train, H, W, K, local_n_rand,
             precrop_iters=args.precrop_iters, precrop_frac=args.precrop_frac,
             seed=host_seed,
         )
         sample = sampler.next
+
+    if n_proc > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        _batch_sh = NamedSharding(mesh, PartitionSpec("data"))
+
+        def to_device(batch_np):
+            return {
+                k: jax.make_array_from_process_local_data(_batch_sh, v)
+                for k, v in batch_np.items()
+            }
+    else:
+        def to_device(batch_np):
+            return {k: jnp.asarray(v) for k, v in batch_np.items()}
 
     n_iters = args.n_iters + 1
     print("Begin")
@@ -383,7 +428,8 @@ def train(args) -> Dict:
         # NaN watchdog (SURVEY.md §5.3: the reference swallows failures; we
         # fail fast with context so auto-resume restarts from a good ckpt).
         if not np.isfinite(loss):
-            path = save_checkpoint(logdir, i, state)
+            path = (save_checkpoint(logdir, i, state)
+                    if jax.process_index() == 0 else "<saved by process 0>")
             raise FloatingPointError(
                 f"non-finite loss {loss} at iteration {i}; state saved to "
                 f"{path}. Re-run with --debug_nans to locate the op."
@@ -444,7 +490,7 @@ def train(args) -> Dict:
 
     for i in range(start + 1, n_iters):
         batch_np = sample(i)
-        batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+        batch = to_device(batch_np)
         key, sub = jax.random.split(key)
         pw = {k: jnp.asarray(v, jnp.float32) for k, v in prior_weights.items()}
         state, metrics = step_fn(state, batch, sub, pw)
@@ -498,7 +544,7 @@ def train(args) -> Dict:
 
         t = time.time() - time0
 
-        if i % args.i_weights == 0:
+        if i % args.i_weights == 0 and jax.process_index() == 0:
             path = save_checkpoint(logdir, i, state)
             print("Saved checkpoints at", path)
             metrics_logger.save_checkpoint(i)
@@ -599,7 +645,8 @@ def train(args) -> Dict:
         qb = _quant_bits(state) if args.use_quantization else None
         process_metrics(pending[0], pending[1], qb)
     final_step = int(np.asarray(jax.device_get(state["step"])))
-    save_checkpoint(logdir, final_step, state)
+    if jax.process_index() == 0:
+        save_checkpoint(logdir, final_step, state)
     metrics_logger.save_checkpoint(final_step)
     metrics_logger.plot_training_curves()
     if args.use_quantization:

@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--out", type=str, default="tpu_ablate_step.json")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 gather + fused bfloat16 scatter backward")
+    ap.add_argument("--gather_bf16", action="store_true",
+                    help="bfloat16 gather only (f32 autodiff backward)")
+    ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     args = ap.parse_args()
 
     import jax
@@ -52,10 +55,16 @@ def main():
     n_samples = 64
     bbox = 1.5
     bb = ((-bbox,) * 3, (bbox,) * 3)
-    io = dict(gather_dtype="bfloat16", scatter_dtype="bfloat16") if args.bf16 else {}
+    io = {}
+    if args.bf16:
+        io = dict(gather_dtype="bfloat16", scatter_dtype="bfloat16")
+    elif args.gather_bf16:
+        io = dict(gather_dtype="bfloat16")
     block_grid = BlockHashConfig(
-        bbox_min=bb[0], bbox_max=bb[1], n_levels=16, log2_rows=12,
-        base_resolution=16, finest_resolution=512, **io,
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=16,
+        log2_rows=12 if args.block_size == 4 else 13,
+        base_resolution=16, finest_resolution=512,
+        block_size=args.block_size, **io,
     )
     occupancy = OccupancyConfig(
         bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8

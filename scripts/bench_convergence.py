@@ -26,6 +26,8 @@ def main():
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--n_importance", type=int, default=128)
     ap.add_argument("--occ_samples", type=int, default=64)
+    ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
+    ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--out", default=None)
@@ -58,8 +60,11 @@ def main():
     else:
         block_grid = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-            n_levels=16, log2_rows=12,
+            n_levels=16, log2_rows=12 if args.block_size == 4 else 13,
             base_resolution=16, finest_resolution=512,
+            gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
+            scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",
+            block_size=args.block_size,
         )
     occupancy = None
     n_importance = args.n_importance

@@ -77,21 +77,30 @@ def test_block_encode_continuity_within_block(rng):
     assert float(jnp.max(jnp.abs(f1 - f0))) < 1e-6
 
 
-def test_block_encode_matches_manual_reference(rng):
-    """Spot-check one point against a hand-rolled numpy reference."""
-    from indoor_nerf_tpu.ops.blockhash import _STAGGER, _BLOCK_PRIMES
+@pytest.mark.parametrize("block_size", [4, 3])
+def test_block_encode_matches_manual_reference(rng, block_size):
+    """Spot-check one point against a hand-rolled numpy reference
+    (both tile layouts: 5^3-in-128-lanes and 4^3-in-64-lanes)."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import _stagger, _BLOCK_PRIMES
     from indoor_nerf_tpu.ops.encoding import level_resolutions
 
-    table = np.asarray(init_block_table(jax.random.PRNGKey(1), CFG))
+    cfg = dataclasses.replace(CFG, block_size=block_size)
+    side = cfg.side
+    lpf = cfg.lanes_per_feature
+    table = np.asarray(init_block_table(jax.random.PRNGKey(1), cfg))
+    assert table.shape[1] == 2 * lpf
     x = np.array([[0.37, -0.58, 0.12]], np.float32)
-    got, _ = block_hash_encode(jnp.asarray(x), jnp.asarray(table), CFG)
+    got, _ = block_hash_encode(jnp.asarray(x), jnp.asarray(table), cfg)
     got = np.asarray(got)[0]
 
-    res = level_resolutions(CFG.as_hash_grid())
-    bmin = np.array(CFG.bbox_min, np.float32)
-    bmax = np.array(CFG.bbox_max, np.float32)
-    R = CFG.rows_per_level
-    for lvl in range(CFG.n_levels):
+    res = level_resolutions(cfg.as_hash_grid())
+    bmin = np.array(cfg.bbox_min, np.float32)
+    bmax = np.array(cfg.bbox_max, np.float32)
+    R = cfg.rows_per_level
+    stag = _stagger(cfg.n_levels, block_size)
+    for lvl in range(cfg.n_levels):
         grid = (bmax - bmin) / res[lvl]
         relv = (x[0] - bmin) / grid
         bl = np.floor(relv).astype(np.int64)
@@ -99,19 +108,19 @@ def test_block_encode_matches_manual_reference(rng):
         acc = np.zeros(2, np.float64)
         for c in range(8):
             bits = np.array([(c >> 2) & 1, (c >> 1) & 1, c & 1])
-            v0 = bl + _STAGGER[lvl]
-            blk = (v0) // BLOCK
-            local = v0 - blk * BLOCK + bits
+            v0 = bl + stag[lvl]
+            blk = (v0) // block_size
+            local = v0 - blk * block_size + bits
             # corner may cross into the next block cell within the halo tile
             h = 0
             for d in range(3):
                 h ^= int(blk[d]) * int(_BLOCK_PRIMES[d])
             h ^= lvl * int(_BLOCK_PRIMES[3])
             row = (h % (1 << 64)) & (R - 1)
-            lane = local[0] * SIDE * SIDE + local[1] * SIDE + local[2]
+            lane = local[0] * side * side + local[1] * side + local[2]
             cw = np.prod([w[d] if bits[d] else 1 - w[d] for d in range(3)])
             for f in range(2):
-                acc[f] += cw * table[lvl * R + row, f * 128 + lane]
+                acc[f] += cw * table[lvl * R + row, f * lpf + lane]
         np.testing.assert_allclose(
             got[2 * lvl : 2 * lvl + 2], acc, rtol=1e-4, atol=1e-8
         )
@@ -130,11 +139,15 @@ def test_block_encode_gradients_flow(rng):
     assert np.all(np.isfinite(np.asarray(g)))
 
 
-def test_block_encode_fused_bf16_backward(rng):
+@pytest.mark.parametrize("block_size", [4, 3])
+def test_block_encode_fused_bf16_backward(rng, block_size):
     """scatter_dtype='bfloat16': forward bit-identical, gradient close to the
     f32 autodiff transpose, zero point-position cotangent (documented)."""
     import dataclasses
 
+    CFG = dataclasses.replace(
+        globals()["CFG"], block_size=block_size
+    )
     cfg16 = dataclasses.replace(CFG, scatter_dtype="bfloat16")
     # Scale up so bf16 relative error is visible against the tiny init.
     table = init_block_table(jax.random.PRNGKey(0), CFG) * 1e4
