@@ -136,6 +136,16 @@ def build_parser() -> argparse.ArgumentParser:
              "(run the same command on every host); each host samples "
              "N_rand/process_count rays and the global batch is assembled "
              "with make_array_from_process_local_data")
+    add("--coordinator_address", type=str, default=None,
+        help="with --multihost: 'host:port' of the process-0 coordinator "
+             "for clusters jax.distributed cannot auto-detect (Cloud TPU "
+             "auto-detects; tests use this with the CPU Gloo backend)")
+    add("--num_processes", type=int, default=None,
+        help="with --multihost: total controller processes (auto-detected "
+             "on Cloud TPU)")
+    add("--process_id", type=int, default=None,
+        help="with --multihost: this controller's rank (auto-detected on "
+             "Cloud TPU)")
     add("--seed", type=int, default=0, help="global PRNG seed")
     add("--precision", type=str, default="f32", choices=["f32", "bf16"],
         help="activation precision on TPU")

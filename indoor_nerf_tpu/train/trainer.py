@@ -199,7 +199,11 @@ def train(args) -> Dict:
     if getattr(args, "multihost", False):
         from jax import distributed as jax_distributed
 
-        jax_distributed.initialize()
+        jax_distributed.initialize(
+            coordinator_address=getattr(args, "coordinator_address", None),
+            num_processes=getattr(args, "num_processes", None),
+            process_id=getattr(args, "process_id", None),
+        )
         # On a shared filesystem only one writer may own the logdir
         # artifacts; non-zero processes still compute (collectives need
         # every host) but skip checkpoint/figure writes.
