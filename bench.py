@@ -46,9 +46,16 @@ def main():
     n_rand = 4096
     bbox = 1.5
     bb = ((-bbox,) * 3, (bbox,) * 3)
+    # Flagship layout: 64-vertex (4^3 halo'd) tiles — one 512 B f32 row per
+    # (point, level) — with bfloat16 table IO on both the row gather and the
+    # fused scatter backward. Equal parameter budget to the 5^3/log2_rows-12
+    # layout; measured quality-neutral at convergence (42.1 vs 41.3 dB @1200
+    # iters, convergence_tpu_b3bf16.json) and 1.5x faster per step
+    # (tpu_ablate_b3_bf16.json vs tpu_ablate_step.json).
     block_grid = BlockHashConfig(
-        bbox_min=bb[0], bbox_max=bb[1], n_levels=16, log2_rows=12,
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=16, log2_rows=13,
         base_resolution=16, finest_resolution=512,
+        block_size=3, gather_dtype="bfloat16", scatter_dtype="bfloat16",
     )
     occupancy = OccupancyConfig(
         bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
