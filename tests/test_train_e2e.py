@@ -77,6 +77,56 @@ def test_training_converges():
 
 
 @pytest.mark.slow
+def test_flagship_config_converges():
+    """Convergence guard for the EXACT bench.py flagship configuration:
+    block-hash encoder with 64-vertex (block_size 3) tiles, bfloat16 table
+    IO on the gather AND the fused scatter backward, occupancy-guided
+    sampling. Protects the benchmark config's quality against encoder or
+    backward changes (measured 42.1 dB @1200 iters on TPU —
+    convergence_tpu_b3bf16.json; this is the small-scale analogue)."""
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+
+    scene = make_synthetic_scene(n_views=10, H=48, W=48)
+    bg = BlockHashConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=8, log2_rows=10, base_resolution=16, finest_resolution=128,
+        block_size=3, gather_dtype="bfloat16", scatter_dtype="bfloat16",
+    )
+    occ = OccupancyConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        resolution=32, warmup_steps=8,
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=32, n_importance=0,
+                      white_bkgd=True, occupancy=occ, n_occ_samples=32)
+    cfg = TrainConfig(
+        render=rc, near=scene["near"], far=scene["far"], n_rand=512,
+        lrate=0.01, tv_loss_weight=0.0,
+    )
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], cfg.n_rand,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+
+    key = jax.random.PRNGKey(1)
+    first_psnr, last_psnr = None, None
+    for i in range(400):
+        key, sub = jax.random.split(key)
+        state, metrics = step_fn(state, _np_batch(sampler.next()), sub)
+        if i == 0:
+            first_psnr = float(metrics["psnr"])
+        last_psnr = float(metrics["psnr"])
+
+    assert np.isfinite(last_psnr)
+    assert last_psnr > first_psnr + 6.0, (first_psnr, last_psnr)
+    assert last_psnr > 18.0, last_psnr
+
+
+@pytest.mark.slow
 def test_training_with_priors_and_quantization_runs():
     """Smoke test: structural priors + A-CAQ active in the jitted step."""
     scene = make_synthetic_scene(n_views=6, H=32, W=32)
