@@ -85,7 +85,13 @@ class BlockHashConfig:
     finest_resolution: int = 512
     # Gather precision: "bfloat16" halves the dominant HBM traffic (row
     # fetch + row-cotangent) by casting the f32 master table before the
-    # gather; interpolation and the table scatter-add stay f32.
+    # gather; interpolation and the table scatter-add stay f32. "int8"
+    # halves it again: the f32 master is symmetrically quantized per level
+    # (scale = absmax/127, one cheap full-table pass per step) and rows
+    # dequantize after the gather — straight-through semantics, i.e. the
+    # backward ignores the quantizer exactly like the reference's STE
+    # fake-quant (PocketNeRF/quantization.py:173-187), so "int8" requires
+    # the fused custom-VJP backward (enabled automatically).
     gather_dtype: str = "float32"
     # Backward precision: "bfloat16" switches the encode to a fused custom
     # VJP that forms the tent-product cotangent rows directly in bfloat16
@@ -268,12 +274,24 @@ def _gather_interp(
     hardware/compilers. Optionally move the rows (and, under XLA autodiff,
     their backward cotangent) in bfloat16 — the 33 MB table cast is
     negligible next to the GBs of row traffic it halves."""
-    src = table
-    if config.gather_dtype == "bfloat16":
-        src = table.astype(jnp.bfloat16)
-    rows = jnp.take(src, flat_row, axis=0)
-    if rows.dtype != jnp.float32:
-        rows = rows.astype(jnp.float32)
+    if config.gather_dtype == "int8":
+        # Per-level symmetric quantization of the master table (one
+        # [L*R, F*lanes] pass, ~17M elements — negligible next to the GBs
+        # of row traffic the int8 rows quarter). Rows dequantize with the
+        # gathered level's scale right after the fetch.
+        L, R = config.n_levels, config.rows_per_level
+        t = table.reshape(L, R * table.shape[1])
+        scale = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-12) / 127.0  # [L]
+        q = jnp.round(table / jnp.repeat(scale, R)[:, None]).astype(jnp.int8)
+        rows = jnp.take(q, flat_row, axis=0).astype(jnp.float32)
+        rows = rows * scale[flat_row // R][:, None]
+    else:
+        src = table
+        if config.gather_dtype == "bfloat16":
+            src = table.astype(jnp.bfloat16)
+        rows = jnp.take(src, flat_row, axis=0)
+        if rows.dtype != jnp.float32:
+            rows = rows.astype(jnp.float32)
 
     if USE_TILE_INTERP_KERNEL and config.block_size == BLOCK:
         from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
@@ -332,7 +350,8 @@ def _encode_fused_fwd(table, x, config):
 
 def _encode_fused_bwd(config, res, g):
     flat_row, p = res
-    dt = jnp.bfloat16
+    dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
+          else jnp.float32)
     w = _tent_weights(p, config.side, config.lanes_per_feature)  # [M, lpf]
     w = w.astype(dt)
     cot = jnp.concatenate(
@@ -368,7 +387,10 @@ def block_hash_encode(
     box_max = jnp.asarray(config.bbox_max, jnp.float32)
     keep_mask = jnp.all((x >= box_min) & (x <= box_max), axis=-1)
 
-    if config.scatter_dtype == "bfloat16":
+    if config.scatter_dtype == "bfloat16" or config.gather_dtype == "int8":
+        # int8 needs the custom VJP regardless of scatter precision: XLA
+        # autodiff through jnp.round would zero the table gradient; the
+        # fused backward implements the STE instead.
         out = _encode_fused(table, x, config)
     else:
         flat_row, p, _ = _tile_coords(x, config)

@@ -153,11 +153,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="block-hash tile: 4 -> 5^3-vertex tiles in 128 lanes (1 KB f32 "
              "rows); 3 -> 4^3-vertex tiles exactly filling 128 lanes with "
              "F=2 (512 B rows — half the HBM bytes per point-level)")
-    add("--block_io", type=str, default="f32", choices=["f32", "bf16"],
+    add("--block_io", type=str, default="f32",
+        choices=["f32", "bf16", "int8"],
         help="block-hash table HBM traffic precision (i_embed 3): bf16 "
              "halves the byte-bound row gather AND switches the encode "
              "backward to the fused bfloat16 cotangent scatter "
-             "(ops/blockhash.py); the table master and optimizer stay f32")
+             "(ops/blockhash.py); int8 quarters the forward gather via "
+             "per-level symmetric quantization with straight-through "
+             "gradients (bf16 scatter backward); the table master and "
+             "optimizer stay f32 in all modes")
     add("--use_pallas", action="store_true",
         help="use the fused Pallas hash-encode kernel where available")
     add("--profile_dir", type=str, default=None,

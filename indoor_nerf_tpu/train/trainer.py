@@ -110,8 +110,10 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             ),
             base_resolution=16,
             finest_resolution=args.finest_res,
-            gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
-            scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",
+            gather_dtype={"f32": "float32", "bf16": "bfloat16",
+                          "int8": "int8"}[args.block_io],
+            scatter_dtype=("bfloat16" if args.block_io in ("bf16", "int8")
+                           else "float32"),
             block_size=args.block_size,
         )
     quant = QuantConfig(

@@ -174,6 +174,52 @@ def test_block_encode_fused_bf16_backward(rng, block_size):
     assert float(jnp.sum(jnp.abs(gx))) == 0.0
 
 
+@pytest.mark.parametrize("block_size", [4, 3])
+def test_block_encode_int8_gather(rng, block_size):
+    """gather_dtype='int8': forward within per-level quantization error of
+    f32, straight-through table gradient (close to the f32 transpose —
+    the quantizer is invisible to the backward, like the reference's STE
+    fake-quant PocketNeRF/quantization.py:173-187), zero point cotangent."""
+    import dataclasses
+
+    CFG = dataclasses.replace(globals()["CFG"], block_size=block_size)
+    cfg8 = dataclasses.replace(
+        CFG, gather_dtype="int8", scatter_dtype="bfloat16"
+    )
+    table = init_block_table(jax.random.PRNGKey(0), CFG) * 1e4
+    x = jnp.asarray(rng.uniform(-0.95, 0.95, size=(512, 3)), jnp.float32)
+
+    f32, m32 = block_hash_encode(x, table, CFG)
+    f8, m8 = block_hash_encode(x, table, cfg8)
+    np.testing.assert_array_equal(np.asarray(m32), np.asarray(m8))
+    # Symmetric per-level scale = absmax/127; interpolated features are
+    # convex combinations of row values, so the error is bounded by half a
+    # quantization step per feature.
+    step = float(jnp.max(jnp.abs(table))) / 127.0
+    assert float(jnp.max(jnp.abs(f8 - f32))) <= step, (
+        float(jnp.max(jnp.abs(f8 - f32))), step)
+    # Not bit-identical (it IS quantized).
+    assert float(jnp.max(jnp.abs(f8 - f32))) > 0.0
+
+    def loss(t, cfg):
+        f, _ = block_hash_encode(x, t, cfg)
+        return jnp.sum(f**2)
+
+    g32 = jax.grad(lambda t: loss(t, CFG))(table)
+    g8 = jax.grad(lambda t: loss(t, cfg8))(table)
+    rel = float(jnp.linalg.norm(g8 - g32) / jnp.linalg.norm(g32))
+    # STE: the backward ignores quantization; difference comes only from
+    # the quantized forward features feeding d(sum f^2) = 2f and the bf16
+    # cotangent rows.
+    assert rel < 0.05, rel
+    assert g8.dtype == jnp.float32
+
+    gx = jax.grad(
+        lambda xx: jnp.sum(block_hash_encode(xx, table, cfg8)[0] ** 2)
+    )(x)
+    assert float(jnp.sum(jnp.abs(gx))) == 0.0
+
+
 @pytest.mark.slow
 def test_blockhash_training_converges():
     """The block-hash field trains to the same quality class as exact NGP."""
