@@ -356,6 +356,7 @@ def baked_render_rays(
     n_samples: int = 128,
     white_bkgd: bool = True,
     k_geo: Optional[int] = 8,
+    t_bounds: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
 
@@ -366,6 +367,11 @@ def baked_render_rays(
        (surface hits carry ~all the weight mass; quality is flat down to
        k=8, see BENCH_NOTES.md). ``k_geo=None`` uses every sample.
     Then ONE deferred color-net evaluation per ray.
+
+    ``t_bounds``: optional per-ray ``([N], [N])`` sampling interval along
+    the ray (same z units as near/far); it is intersected with the scene
+    AABB. The guided image renderer uses this to concentrate samples
+    around coarse-pass depth.
     """
     bc: BakedConfig = baked["config"]
     n = rays_o.shape[0]
@@ -374,6 +380,9 @@ def baked_render_rays(
     bmax = jnp.asarray(bc.bbox_max, jnp.float32)
 
     t0, t1 = _ray_aabb(rays_o, rays_d, bmin, bmax, near, far)
+    if t_bounds is not None:
+        t0 = jnp.maximum(t0, t_bounds[0])
+        t1 = jnp.maximum(jnp.minimum(t1, t_bounds[1]), t0)
     ts = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
     z = t0[:, None] + (t1 - t0)[:, None] * ts[None, :]  # [N, S]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
@@ -409,6 +418,18 @@ def baked_render_rays(
     weights = alpha * trans  # [N, S]
     acc = jnp.sum(weights, axis=-1)
     depth = jnp.sum(weights * z, axis=-1)
+
+    # Weighted 2%/98% depth quantiles: the span that carries the ray's
+    # opacity mass. Unlike mean depth these cover BIMODAL rays (a
+    # silhouette pixel splitting between a near surface and the far wall),
+    # which is what makes them safe guidance intervals for the two-level
+    # renderer. Degenerate (acc ~ 0) rays give z[0]; the guided caller
+    # falls back to the full range for those via acc_thresh.
+    cumw = jnp.cumsum(weights, axis=-1)
+    lo_i = jnp.argmax(cumw >= 0.02 * acc[:, None], axis=-1)
+    hi_i = jnp.argmax(cumw >= 0.98 * acc[:, None], axis=-1)
+    t_lo = jnp.take_along_axis(z, lo_i[:, None], axis=1)[:, 0]
+    t_hi = jnp.take_along_axis(z, hi_i[:, None], axis=1)[:, 0]
 
     # Pass 2: geo features for the top-k weighted samples per ray — ONE
     # 256 B voxel-corner row per sample (all 8 trilinear corners in-row),
@@ -470,6 +491,8 @@ def baked_render_rays(
         "depth_map": depth,
         "acc_map": acc,
         "disp_map": disp,
+        "t_lo": t_lo,
+        "t_hi": t_hi,
     }
 
 
@@ -481,10 +504,29 @@ def make_baked_image_renderer(
     n_samples: int = 128,
     white_bkgd: bool = True,
     k_geo: Optional[int] = 8,
+    guided: int = 0,
+    n_coarse: int = 128,
+    margin_frac: float = 0.04,
+    acc_thresh: float = 0.5,
 ):
     """A jitted full-image renderer over a baked snapshot.
 
     Mirrors make_image_renderer's tiling (render/renderer.py).
+
+    ``guided > 0`` enables DEPTH-GUIDED two-level rendering (the frame is
+    gather-ROW-RATE bound, so fewer fetched rows = proportionally faster):
+    first the image renders at 1/guided resolution with ``n_coarse``
+    uniform samples, then each full-res ray marches only ``n_samples``
+    (choose it SMALL, e.g. 24-32) fine samples inside a conservative depth
+    interval — the 3x3-neighborhood min/max of coarse depth, widened by
+    ``margin_frac`` x (far-near). Coarse pixels with accumulated opacity
+    below ``acc_thresh`` in their whole 3x3 neighborhood (background /
+    silhouette-uncertain) fall back to the full [near, far] range, so
+    misses never clip geometry; structures thinner than the coarse pixel
+    grid in a LOW-opacity region are the documented approximation (they
+    alias exactly as a uniform ``n_samples`` march would). Total fetch
+    volume: H*W*(n_coarse/guided^2 + n_samples) rows vs H*W*128 — ~2.6x
+    fewer at guided=4, n_samples=32.
     """
     from indoor_nerf_tpu.ops.rays import get_rays
 
@@ -496,25 +538,64 @@ def make_baked_image_renderer(
         rays_d = rays_d.reshape(-1, 3)
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
 
-        nr = H * W
-        n_pad = ((nr + tile_rays - 1) // tile_rays) * tile_rays
+        def tiled(ro, rd, vd, n_s, bounds=None):
+            nr = ro.shape[0]
+            n_pad = ((nr + tile_rays - 1) // tile_rays) * tile_rays
 
-        def padded(x):
-            return jnp.pad(x, ((0, n_pad - nr), (0, 0))).reshape(
-                -1, tile_rays, x.shape[-1]
-            )
+            def padded(x):
+                if x.ndim == 1:
+                    return jnp.pad(x, (0, n_pad - nr)).reshape(-1, tile_rays)
+                return jnp.pad(x, ((0, n_pad - nr), (0, 0))).reshape(
+                    -1, tile_rays, x.shape[-1]
+                )
 
-        def tile_fn(args):
-            ro, rd, vd = args
-            return baked_render_rays(
-                baked_dev, ro, rd, vd, near, far,
-                n_samples=n_samples, white_bkgd=white_bkgd, k_geo=k_geo,
-            )
+            args = (padded(ro), padded(rd), padded(vd))
+            if bounds is not None:
+                args = args + (padded(bounds[0]), padded(bounds[1]))
 
-        out = jax.lax.map(
-            tile_fn, (padded(rays_o), padded(rays_d), padded(viewdirs))
-        )
-        flat = {k: v.reshape(n_pad, *v.shape[2:])[:nr] for k, v in out.items()}
+            def tile_fn(a):
+                tb = (a[3], a[4]) if bounds is not None else None
+                return baked_render_rays(
+                    baked_dev, a[0], a[1], a[2], near, far,
+                    n_samples=n_s, white_bkgd=white_bkgd, k_geo=k_geo,
+                    t_bounds=tb,
+                )
+
+            out = jax.lax.map(tile_fn, args)
+            return {
+                k: v.reshape(n_pad, *v.shape[2:])[:nr] for k, v in out.items()
+            }
+
+        if guided:
+            g = guided
+            Hc, Wc = -(-H // g), -(-W // g)
+            scale = jnp.asarray([[1.0 / g], [1.0 / g], [1.0]], jnp.float32)
+            ro_c, rd_c = get_rays(Hc, Wc, K * scale, c2w)
+            ro_c = ro_c.reshape(-1, 3)
+            rd_c = rd_c.reshape(-1, 3)
+            vd_c = rd_c / jnp.linalg.norm(rd_c, axis=-1, keepdims=True)
+            coarse = tiled(ro_c, rd_c, vd_c, n_coarse)
+
+            acc_c = coarse["acc_map"].reshape(Hc, Wc)
+            hit = acc_c > acc_thresh
+            big = jnp.float32(3e38)
+            dmin = jnp.where(hit, coarse["t_lo"].reshape(Hc, Wc), big)
+            dmax = jnp.where(hit, coarse["t_hi"].reshape(Hc, Wc), -big)
+            # 3x3 neighborhood min/max (SAME padding keeps edges valid).
+            dmin = -jax.lax.reduce_window(
+                -dmin, -big, jax.lax.max, (3, 3), (1, 1), "SAME")
+            dmax = jax.lax.reduce_window(
+                dmax, -big, jax.lax.max, (3, 3), (1, 1), "SAME")
+            m = margin_frac * (far - near)
+            no_hit = dmax < -1e37  # whole neighborhood below acc_thresh
+            dmin = jnp.where(no_hit, near, dmin - m)
+            dmax = jnp.where(no_hit, far, dmax + m)
+            # Nearest-neighbor upsample to full resolution.
+            dmin = jnp.repeat(jnp.repeat(dmin, g, 0), g, 1)[:H, :W].reshape(-1)
+            dmax = jnp.repeat(jnp.repeat(dmax, g, 0), g, 1)[:H, :W].reshape(-1)
+            flat = tiled(rays_o, rays_d, viewdirs, n_samples, (dmin, dmax))
+        else:
+            flat = tiled(rays_o, rays_d, viewdirs, n_samples)
         return {
             "rgb_map": flat["rgb_map"].reshape(H, W, 3),
             "depth_map": flat["depth_map"].reshape(H, W),

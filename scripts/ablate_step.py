@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--out", type=str, default="tpu_ablate_step.json")
     ap.add_argument("--bf16", action="store_true",
                     help="bfloat16 gather + fused bfloat16 scatter backward")
+    ap.add_argument("--int8", action="store_true",
+                    help="int8 gather (per-level STE quant) + fused "
+                         "bfloat16 scatter backward")
     ap.add_argument("--gather_bf16", action="store_true",
                     help="bfloat16 gather only (f32 autodiff backward)")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
@@ -56,7 +59,9 @@ def main():
     bbox = 1.5
     bb = ((-bbox,) * 3, (bbox,) * 3)
     io = {}
-    if args.bf16:
+    if args.int8:
+        io = dict(gather_dtype="int8", scatter_dtype="bfloat16")
+    elif args.bf16:
         io = dict(gather_dtype="bfloat16", scatter_dtype="bfloat16")
     elif args.gather_bf16:
         io = dict(gather_dtype="bfloat16")

@@ -34,6 +34,12 @@ def main():
                     choices=["bfloat16", "float32", "int8"],
                     help="snapshot table dtype (int8 = log-sigma + "
                          "per-feature geo scales)")
+    ap.add_argument("--guided", type=int, default=0,
+                    help="with --baked: depth-guided two-level rendering; "
+                         "value = coarse downsample factor (e.g. 4). "
+                         "n_samples then counts FINE samples (use 24-32)")
+    ap.add_argument("--n_coarse", type=int, default=128,
+                    help="with --guided: samples/ray of the low-res pass")
     args = ap.parse_args()
     if args.tile_rays is None:
         args.tile_rays = (4096 if args.baked
@@ -83,11 +89,13 @@ def main():
         float(baked["voxel_geo"].astype("float32").sum())
         bake_s = _t.perf_counter() - tb
         render = make_baked_image_renderer(
-            baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples
+            baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples,
+            guided=args.guided, n_coarse=args.n_coarse,
         )
         render_call = lambda: render(c2w, K, 2.0, 6.0)
         cfg_out = {"baked_res": args.baked_res, "dtype": args.baked_dtype,
-                   "n_samples": args.n_samples,
+                   "n_samples": args.n_samples, "guided": args.guided,
+                   "n_coarse": args.n_coarse if args.guided else None,
                    "bake_seconds": round(bake_s, 2)}
     else:
         render = make_image_renderer(rc, H, W, args.tile_rays)

@@ -156,3 +156,16 @@ def test_baked_render_matches_online():
                               scene["far"])["rgb_map"])
     psnr8 = -10 * np.log10(np.mean((rgb8 - gt) ** 2))
     assert psnr8 > psnr_baked - 1.5, (psnr8, psnr_baked)
+
+    # Depth-guided two-level rendering: a low-res coarse pass bounds the
+    # per-ray depth interval, and FEWER fine samples concentrated there
+    # must stay in the plain baked render's quality class (the whole point
+    # is fewer fetched rows at equal quality).
+    render_g = make_baked_image_renderer(
+        baked, H, W, tile_rays=1024, n_samples=24, guided=4, n_coarse=96,
+    )
+    rgb_g = np.asarray(render_g(c2w, scene["K"], scene["near"],
+                                scene["far"])["rgb_map"])
+    assert np.all(np.isfinite(rgb_g))
+    psnr_g = -10 * np.log10(np.mean((rgb_g - gt) ** 2))
+    assert psnr_g > psnr_baked - 1.0, (psnr_g, psnr_baked)
