@@ -401,9 +401,25 @@ def query_field(
     """
     r, s, _ = pts.shape
     flat = pts.reshape(-1, 3)
-    feats, keep, quant_state = encode_position(
-        flat, params, config, quant_state, train, step
-    )
+    bg = config.block_grid
+    if config.i_embed == 3 and bg is not None and bg.ray_strides is not None:
+        # Ray-structured strided encode: coarse levels gather/scatter only
+        # at knot samples along each ray (ops/blockhash.py — the encode
+        # backward is scatter-transaction bound, so fewer rows = faster).
+        from indoor_nerf_tpu.ops.blockhash import block_hash_encode_strided
+
+        table = params["table"]
+        if config.use_quantization and quant_state is not None:
+            table, quant_state = _quantize_block_table(
+                table, quant_state, config, train, step
+            )
+        feats3, keep2 = block_hash_encode_strided(pts, table, bg)
+        feats = feats3.reshape(r * s, -1)
+        keep = keep2.reshape(r * s)
+    else:
+        feats, keep, quant_state = encode_position(
+            flat, params, config, quant_state, train, step
+        )
 
     view_feats = None
     if config.use_viewdirs and viewdirs is not None:

@@ -45,7 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -111,6 +111,19 @@ class BlockHashConfig:
     # cotangent scatter, at ~21% more halo-storage overhead per vertex
     # (capacity parity then wants log2_rows one larger).
     block_size: int = 4
+    # Per-level ray-axis decimation (len == n_levels; None = off). Level l
+    # with stride k > 1 is encoded only at every k-th sample along each
+    # ray (plus the last) and linearly interpolated back over the sample
+    # axis with a STATIC [S, K] matrix — so its backward is the transpose
+    # matmul (MXU), not more scatter rows. Rationale: the encode backward
+    # is scatter-TRANSACTION bound (~59M rows/s regardless of row bytes,
+    # tpu_probe_bwd.json), so the only speed lever is fewer (point, level)
+    # rows; coarse levels are band-limited far below the sample spacing,
+    # so strided knots lose almost nothing (quality asserted in
+    # tests/test_blockhash.py and the convergence suite). Applies to the
+    # [R, S, 3] ray-structured query path (query_field); flat queries
+    # (occupancy refresh) always use the full encode.
+    ray_strides: Optional[Tuple[int, ...]] = None
 
     @property
     def rows_per_level(self) -> int:
@@ -216,20 +229,26 @@ def block_tv_loss(
 
 
 def _tile_coords(
-    x: jnp.ndarray, config: BlockHashConfig
+    x: jnp.ndarray, config: BlockHashConfig,
+    levels: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-(point, level) table row + in-tile position.
 
     Returns (flat_row ``[N*L]`` int32, p ``[N*L, 3]`` f32 position within the
     5^3 tile, keep_mask ``[N]`` bool). Same bbox clamp semantics as the
-    reference (utils.py:95-117)."""
+    reference (utils.py:95-117). ``levels`` (static) restricts the encode
+    to a subset of grid levels; row indices stay GLOBAL (level id * R +
+    hash), so subset encodes address the same fused table."""
     n = x.shape[0]
-    L = config.n_levels
+    lv = np.arange(config.n_levels, dtype=np.int32) if levels is None \
+        else np.asarray(levels, np.int32)
+    L = len(lv)
     R = config.rows_per_level
 
     box_min = jnp.asarray(config.bbox_min, jnp.float32)
     box_max = jnp.asarray(config.bbox_max, jnp.float32)
-    res = jnp.asarray(level_resolutions(config.as_hash_grid()))  # [L]
+    res = jnp.asarray(
+        np.asarray(level_resolutions(config.as_hash_grid()))[lv])  # [L]
 
     keep_mask = jnp.all((x >= box_min) & (x <= box_max), axis=-1)
     xc = jnp.clip(x, box_min, box_max)
@@ -241,14 +260,14 @@ def _tile_coords(
 
     # Staggered block partition (per-level shift of the vertex lattice).
     B = config.block_size
-    stagger = jnp.asarray(_stagger(L, B))  # [L, 3]
+    stagger = jnp.asarray(_stagger(config.n_levels, B)[lv])  # [L, 3]
     v0 = bl + stagger[None, :, :]
     block = v0 // B  # [N, L, 3]
     local0 = v0 - block * B  # in [0, B)
 
-    levels = jnp.arange(L, dtype=jnp.int32)
-    row = _block_row_hash(block, levels[None, :], config.log2_rows)  # [N, L]
-    flat_row = (levels[None, :] * R + row.astype(jnp.int32)).reshape(-1)
+    level_ids = jnp.asarray(lv)
+    row = _block_row_hash(block, level_ids[None, :], config.log2_rows)
+    flat_row = (level_ids[None, :] * R + row.astype(jnp.int32)).reshape(-1)
     p = (local0.astype(jnp.float32) + w).reshape(n * L, 3)  # position in tile
     return flat_row, p, keep_mask
 
@@ -322,9 +341,10 @@ def _tent_weights(p: jnp.ndarray, side: int, lanes: int) -> jnp.ndarray:
     return tx * ty * tz
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _encode_fused(
-    table: jnp.ndarray, x: jnp.ndarray, config: BlockHashConfig
+    table: jnp.ndarray, x: jnp.ndarray, config: BlockHashConfig,
+    levels: Optional[Tuple[int, ...]] = None,
 ) -> jnp.ndarray:
     """Encode with a hand-written low-precision backward (scatter_dtype).
 
@@ -338,25 +358,40 @@ def _encode_fused(
 
     Gradient w.r.t. the input points is ZERO (documented in
     BlockHashConfig.scatter_dtype)."""
-    flat_row, p, _ = _tile_coords(x, config)
+    flat_row, p, _ = _tile_coords(x, config, levels)
     return _gather_interp(table, flat_row, p, config)
 
 
-def _encode_fused_fwd(table, x, config):
-    flat_row, p, _ = _tile_coords(x, config)
+def _encode_fused_fwd(table, x, config, levels=None):
+    flat_row, p, _ = _tile_coords(x, config, levels)
     out = _gather_interp(table, flat_row, p, config)
     return out, (flat_row, p)
 
 
-def _encode_fused_bwd(config, res, g):
+def _encode_fused_bwd(config, levels, res, g):
     flat_row, p = res
     dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
           else jnp.float32)
-    w = _tent_weights(p, config.side, config.lanes_per_feature)  # [M, lpf]
-    w = w.astype(dt)
-    cot = jnp.concatenate(
-        [g[:, f : f + 1].astype(dt) * w for f in range(g.shape[1])], axis=1
-    )  # [M, F*lpf]
+    # Build cot[m, f*lpf + v] = g[m, f] * tent(m, v) as ONE lane-decoded
+    # elementwise expression over [M, F*lpf] (no per-feature slices +
+    # concat: the concat is a full extra copy of the ~GB cotangent that
+    # XLA cannot fuse into the scatter operand; this form fuses).
+    m, F = g.shape
+    lpf = config.lanes_per_feature
+    side = config.side
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, F * lpf), 1)
+    v = lane % lpf
+    lx = (v // (side * side)).astype(jnp.float32)
+    ly = ((v // side) % side).astype(jnp.float32)
+    lz = (v % side).astype(jnp.float32)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - p[:, 0:1]))
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - p[:, 1:2]))
+    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - p[:, 2:3]))
+    feat = lane // lpf
+    g_sel = jnp.zeros((m, F * lpf), jnp.float32)
+    for f in range(F):
+        g_sel = jnp.where(feat == f, g[:, f : f + 1], g_sel)
+    cot = (g_sel * tx * ty * tz).astype(dt)  # [M, F*lpf]
     shape = (
         config.n_levels * config.rows_per_level,
         config.n_features_per_level * config.lanes_per_feature,
@@ -364,7 +399,8 @@ def _encode_fused_bwd(config, res, g):
     grad_table = (
         jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
     )
-    dx = jnp.zeros((flat_row.shape[0] // config.n_levels, 3), jnp.float32)
+    n_lv = config.n_levels if levels is None else len(levels)
+    dx = jnp.zeros((flat_row.shape[0] // n_lv, 3), jnp.float32)
     return grad_table, dx
 
 
@@ -372,15 +408,17 @@ _encode_fused.defvjp(_encode_fused_fwd, _encode_fused_bwd)
 
 
 def block_hash_encode(
-    x: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig
+    x: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig,
+    levels: Optional[Tuple[int, ...]] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Encode ``[N, 3]`` points -> (features ``[N, L*F]``, keep_mask ``[N]``).
 
     Drop-in equivalent of hash_encode (same bbox clamp semantics,
     reference utils.py:95-117) with the block-tile memory layout.
+    ``levels`` (static tuple) restricts to a subset of grid levels.
     """
     n = x.shape[0]
-    L = config.n_levels
+    L = config.n_levels if levels is None else len(levels)
     F = config.n_features_per_level
 
     box_min = jnp.asarray(config.bbox_min, jnp.float32)
@@ -391,8 +429,76 @@ def block_hash_encode(
         # int8 needs the custom VJP regardless of scatter precision: XLA
         # autodiff through jnp.round would zero the table gradient; the
         # fused backward implements the STE instead.
-        out = _encode_fused(table, x, config)
+        out = _encode_fused(table, x, config, levels)
     else:
-        flat_row, p, _ = _tile_coords(x, config)
+        flat_row, p, _ = _tile_coords(x, config, levels)
         out = _gather_interp(table, flat_row, p, config)
     return out.reshape(n, L * F), keep_mask
+
+
+def _stride_knots(S: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static knot indices ``[K]`` and lerp matrix ``W [S, K]`` for
+    decimating the sample axis by ``k``: sample s = sum_j W[s, j] * knot_j
+    (index-space linear interpolation; two nonzeros per row)."""
+    ks = list(range(0, S, k))
+    if ks[-1] != S - 1:
+        ks.append(S - 1)
+    K = len(ks)
+    W = np.zeros((S, K), np.float32)
+    for s in range(S):
+        j = min(s // k, K - 2)
+        lo, hi = ks[j], ks[j + 1]
+        w = 0.0 if hi == lo else (s - lo) / (hi - lo)
+        W[s, j] = 1.0 - w
+        W[s, j + 1] = w
+    return np.asarray(ks, np.int32), W
+
+
+def block_hash_encode_strided(
+    pts: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray-structured encode ``[R, S, 3] -> ([R, S, L*F], keep [R, S])``
+    honoring ``config.ray_strides``.
+
+    Levels with stride k > 1 are encoded only at the K ~ S/k knot samples
+    of each ray and linearly interpolated back over the sample axis via a
+    static ``[S, K]`` matrix (einsum — its transpose IS the backward, so
+    the decimated levels contribute K instead of S scatter rows). The
+    encode backward is scatter-transaction bound (tpu_probe_bwd.json:
+    ~59M rows/s regardless of row bytes), making row count the only
+    lever. Coarse levels vary over >= bbox/res_l >> the sample spacing,
+    so index-space lerp between adjacent sampled knots is a second-order
+    approximation there; quality is asserted in tests and the
+    convergence suite.
+    """
+    Rn, S, _ = pts.shape
+    strides = config.ray_strides
+    assert strides is not None and len(strides) == config.n_levels
+
+    box_min = jnp.asarray(config.bbox_min, jnp.float32)
+    box_max = jnp.asarray(config.bbox_max, jnp.float32)
+    keep = jnp.all((pts >= box_min) & (pts <= box_max), axis=-1)  # [R, S]
+
+    groups = []  # consecutive equal-stride level runs, in level order
+    for l, k in enumerate(strides):
+        if groups and groups[-1][0] == k:
+            groups[-1][1].append(l)
+        else:
+            groups.append([int(k), [l]])
+
+    outs = []
+    for k, lv in groups:
+        lv_t = tuple(lv)
+        if k <= 1:
+            f, _ = block_hash_encode(
+                pts.reshape(-1, 3), table, config, levels=lv_t)
+            outs.append(f.reshape(Rn, S, -1))
+        else:
+            knots, W = _stride_knots(S, k)
+            xk = pts[:, knots, :].reshape(-1, 3)
+            fk, _ = block_hash_encode(xk, table, config, levels=lv_t)
+            fk = fk.reshape(Rn, len(knots), -1)
+            outs.append(
+                jnp.einsum("rkf,sk->rsf", fk, jnp.asarray(W),
+                           preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1), keep

@@ -162,6 +162,14 @@ def build_parser() -> argparse.ArgumentParser:
              "per-level symmetric quantization with straight-through "
              "gradients (bf16 scatter backward); the table master and "
              "optimizer stay f32 in all modes")
+    add("--ray_strides", type=str, default=None,
+        help="block-hash ray-axis decimation (i_embed 3): comma list of "
+             "per-level strides, coarsest first (e.g. "
+             "'4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1'). Levels with stride k>1 "
+             "encode only every k-th sample along each ray and lerp back "
+             "— fewer scatter rows in the transaction-bound encode "
+             "backward. Quality-neutral for coarse levels (their feature "
+             "scale >> sample spacing)")
     add("--use_pallas", action="store_true",
         help="use the fused Pallas hash-encode kernel where available")
     add("--profile_dir", type=str, default=None,

@@ -115,6 +115,10 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             scatter_dtype=("bfloat16" if args.block_io in ("bf16", "int8")
                            else "float32"),
             block_size=args.block_size,
+            ray_strides=(
+                tuple(int(v) for v in args.ray_strides.split(","))
+                if getattr(args, "ray_strides", None) else None
+            ),
         )
     quant = QuantConfig(
         init_bits=float(args.quantization_bits),

@@ -30,7 +30,16 @@ def main():
                          "bfloat16 scatter backward")
     ap.add_argument("--gather_bf16", action="store_true",
                     help="bfloat16 gather only (f32 autodiff backward)")
+    ap.add_argument("--probe_bwd", action="store_true",
+                    help="ONLY run the fused-backward internal probes "
+                         "(cotangent formation vs scatter attribution). "
+                         "CAUTION: scatter microprobes have wedged the "
+                         "axon chip before; these reuse the training "
+                         "step's exact shapes/index distribution")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--ray_strides", type=str, default=None,
+                    help="per-level ray-axis strides, comma list "
+                         "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
     args = ap.parse_args()
 
     import jax
@@ -69,7 +78,10 @@ def main():
         bbox_min=bb[0], bbox_max=bb[1], n_levels=16,
         log2_rows=12 if args.block_size == 4 else 13,
         base_resolution=16, finest_resolution=512,
-        block_size=args.block_size, **io,
+        block_size=args.block_size,
+        ray_strides=(tuple(int(v) for v in args.ray_strides.split(","))
+                     if args.ray_strides else None),
+        **io,
     )
     occupancy = OccupancyConfig(
         bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
@@ -111,6 +123,105 @@ def main():
         dt = (time.perf_counter() - t0) / n_steps * 1000.0
         results[name] = round(dt, 2)
         print(f"{name:34s} {dt:8.2f} ms")
+
+    if args.probe_bwd:
+        # Fused-backward internals at the step's exact shapes: where do the
+        # encode-backward milliseconds go — cotangent math, the bf16
+        # scatter, or their composition?
+        from indoor_nerf_tpu.ops.blockhash import _tile_coords
+
+        n_pts = n_rand * n_samples
+        pts = jnp.asarray(
+            rng.uniform(-bbox, bbox, size=(n_pts, 3)), jnp.float32)
+        flat_row, pcoord, _ = _tile_coords(pts, block_grid)
+        Fb = block_grid.n_features_per_level
+        lpf = block_grid.lanes_per_feature
+        sideb = block_grid.side
+        gshape = (block_grid.n_levels * block_grid.rows_per_level, Fb * lpf)
+        gcot = jnp.asarray(
+            rng.normal(size=(flat_row.shape[0], Fb)), jnp.float32)
+
+        def cot_expr(pc, g, dt):
+            m = g.shape[0]
+            lane = jax.lax.broadcasted_iota(jnp.int32, (m, Fb * lpf), 1)
+            v = lane % lpf
+            lx = (v // (sideb * sideb)).astype(jnp.float32)
+            ly = ((v // sideb) % sideb).astype(jnp.float32)
+            lz = (v % sideb).astype(jnp.float32)
+            tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - pc[:, 0:1]))
+            ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - pc[:, 1:2]))
+            tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pc[:, 2:3]))
+            feat = lane // lpf
+            g_sel = jnp.zeros((m, Fb * lpf), jnp.float32)
+            for f in range(Fb):
+                g_sel = jnp.where(feat == f, g[:, f:f + 1], g_sel)
+            return (g_sel * tx * ty * tz).astype(dt)
+
+        def make_cot_only(pcoord, gcot):
+            @jax.jit
+            def run(pcoord, gcot):
+                def body(carry, _):
+                    acc, g = carry
+                    s = jnp.sum(
+                        cot_expr(pcoord, g, jnp.bfloat16)
+                        .astype(jnp.float32))
+                    return (acc + s, g + 1e-20 * s), None
+                (acc, _), _ = jax.lax.scan(
+                    body, (jnp.zeros(()), gcot), None, length=n_steps)
+                return acc
+            return run
+
+        timed("cot_formation_reduce_only", make_cot_only, pcoord, gcot)
+
+        cot16 = jax.jit(
+            lambda pc, g: cot_expr(pc, g, jnp.bfloat16))(pcoord, gcot)
+
+        def make_scatter(dt):
+            def mk(cot, idx2):
+                @jax.jit
+                def run(cot, idx2):
+                    def body(carry, _):
+                        acc, c = carry
+                        gt = jnp.zeros(gshape, dt).at[idx2].add(c.astype(dt))
+                        s = jnp.sum(gt.astype(jnp.float32))
+                        return (acc + s,
+                                c + (1e-20 * s).astype(c.dtype)), None
+                    (acc, _), _ = jax.lax.scan(
+                        body, (jnp.zeros(()), cot), None, length=n_steps)
+                    return acc
+                return run
+            return mk
+
+        timed("scatter_only_bf16", make_scatter(jnp.bfloat16),
+              cot16, flat_row)
+        timed("scatter_only_f32", make_scatter(jnp.float32),
+              cot16.astype(jnp.float32), flat_row)
+
+        def make_cot_scatter(pcoord, gcot, idx2):
+            @jax.jit
+            def run(pcoord, gcot, idx2):
+                def body(carry, _):
+                    acc, g = carry
+                    c = cot_expr(pcoord, g, jnp.bfloat16)
+                    gt = jnp.zeros(gshape, jnp.bfloat16).at[idx2].add(c)
+                    s = jnp.sum(gt.astype(jnp.float32))
+                    return (acc + s, g + 1e-20 * s), None
+                (acc, _), _ = jax.lax.scan(
+                    body, (jnp.zeros(()), gcot), None, length=n_steps)
+                return acc
+            return run
+
+        timed("cot_scatter_bf16", make_cot_scatter, pcoord, gcot, flat_row)
+
+        results["_config"] = {
+            "n_rand": n_rand, "n_samples": n_samples, "n_steps": n_steps,
+            "n_points": n_pts,
+            "rows_scattered": int(flat_row.shape[0]),
+        }
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(json.dumps(results))
+        return
 
     # --- 1. full train step -------------------------------------------------
     def make_full(state, batch):

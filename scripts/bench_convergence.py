@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--occ_samples", type=int, default=64)
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--ray_strides", type=str, default=None,
+                    help="per-level ray-axis strides, comma list "
+                         "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--out", default=None)
@@ -65,6 +68,8 @@ def main():
             gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
             scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",
             block_size=args.block_size,
+            ray_strides=(tuple(int(v) for v in args.ray_strides.split(","))
+                         if args.ray_strides else None),
         )
     occupancy = None
     n_importance = args.n_importance

@@ -220,6 +220,68 @@ def test_block_encode_int8_gather(rng, block_size):
     assert float(jnp.sum(jnp.abs(gx))) == 0.0
 
 
+def test_block_encode_strided(rng):
+    """Ray-axis decimation (ray_strides): stride-1 everywhere is bitwise
+    the plain encode; knot samples of strided levels are exact; along an
+    axis-aligned ray inside one coarse voxel the lerp is exact (trilinear
+    is linear in each axis); gradients flow into the table."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import block_hash_encode_strided
+
+    base = dataclasses.replace(
+        globals()["CFG"], scatter_dtype="bfloat16", block_size=3
+    )
+    table = init_block_table(jax.random.PRNGKey(0), base) * 1e4
+    R, S = 16, 32
+    pts = jnp.asarray(rng.uniform(-0.95, 0.95, size=(R, S, 3)), jnp.float32)
+
+    cfg1 = dataclasses.replace(base, ray_strides=(1,) * base.n_levels)
+    f1, k1 = block_hash_encode_strided(pts, table, cfg1)
+    fp, kp = block_hash_encode(pts.reshape(-1, 3), table, base)
+    np.testing.assert_array_equal(
+        np.asarray(f1), np.asarray(fp.reshape(R, S, -1)))
+    np.testing.assert_array_equal(
+        np.asarray(k1), np.asarray(kp.reshape(R, S)))
+
+    strides = (4, 4, 2, 1)  # CFG has 4 levels
+    cfgs = dataclasses.replace(base, ray_strides=strides)
+    fs, _ = block_hash_encode_strided(pts, table, cfgs)
+    # Knot samples (both stride-4 group and stride-2 group include 0 and
+    # S-1) are exact.
+    for s_idx in (0, S - 1):
+        np.testing.assert_allclose(
+            np.asarray(fs[:, s_idx]), np.asarray(f1[:, s_idx]),
+            rtol=0, atol=1e-5)
+    # Stride-1 levels (the last F features) are exact at EVERY sample.
+    F = base.n_features_per_level
+    np.testing.assert_allclose(
+        np.asarray(fs[..., -F:]), np.asarray(f1[..., -F:]),
+        rtol=0, atol=1e-5)
+
+    # Axis-aligned segment inside one level-0 voxel: lerp is exact.
+    # Level 0 has base_resolution 16 over bbox [-1,1] -> voxel edge 1/8.
+    x0 = jnp.asarray([0.012, 0.05, 0.07], jnp.float32)
+    seg = x0[None, :] + jnp.asarray(
+        [[0.1 / 16 * t, 0.0, 0.0] for t in np.linspace(0, 1, S)],
+        jnp.float32)
+    seg = seg[None, :, :]  # [1, S, 3]
+    f_seg_s, _ = block_hash_encode_strided(seg, table, cfgs)
+    f_seg_1, _ = block_hash_encode_strided(seg, table, cfg1)
+    np.testing.assert_allclose(
+        np.asarray(f_seg_s[..., :F]), np.asarray(f_seg_1[..., :F]),
+        rtol=0, atol=2e-4)
+
+    # Table gradient flows through the strided path (knot scatter + lerp
+    # transpose) and is finite.
+    g = jax.grad(
+        lambda t: jnp.sum(block_hash_encode_strided(pts, t, cfgs)[0] ** 2)
+    )(table)
+    assert g.dtype == jnp.float32
+    gg = np.asarray(g)
+    assert np.all(np.isfinite(gg)) and float(np.abs(gg).sum()) > 0.0
+
+
 @pytest.mark.slow
 def test_blockhash_training_converges():
     """The block-hash field trains to the same quality class as exact NGP."""
