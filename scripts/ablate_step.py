@@ -37,6 +37,8 @@ def main():
                          "axon chip before; these reuse the training "
                          "step's exact shapes/index distribution")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--mlp_bf16", action="store_true",
+                    help="bfloat16 MLP activation precision")
     ap.add_argument("--ray_strides", type=str, default=None,
                     help="per-level ray-axis strides, comma list "
                          "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
@@ -86,7 +88,8 @@ def main():
     occupancy = OccupancyConfig(
         bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
     )
-    fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0)
+    fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0,
+                     compute_dtype="bfloat16" if args.mlp_bf16 else "float32")
     rc = RenderConfig(field=fc, n_samples=n_samples, n_importance=0,
                       white_bkgd=True, occupancy=occupancy,
                       n_occ_samples=n_samples)
