@@ -90,18 +90,120 @@ def _sigma_geo_query(params, config: FieldConfig, mlp_name: str, pts):
     return sigma, h[..., 1:]
 
 
+def _visibility_mask(
+    params: Dict[str, Any],
+    config: FieldConfig,
+    mlp_name: str,
+    resolution: int,
+    bmin: np.ndarray,
+    bmax: np.ndarray,
+    cameras: Dict[str, Any],
+    n_samples: int = 128,
+    subsample: int = 4,
+    threshold: float = 1e-3,
+    mask_resolution: int = 32,
+) -> jnp.ndarray:
+    """Per-VERTEX visibility keep-mask ``[V^3] bool`` from training views.
+
+    SNeRG-style alpha culling (PAPERS.md "Baking Neural Radiance Fields"):
+    march every ``subsample``-th pixel's ray of every training camera
+    through the ONLINE field, scatter-max each sample's compositing weight
+    into a COARSE ``mask_resolution^3`` cell grid, keep cells with weight
+    >= ``threshold`` from SOME training ray, dilate by one cell, and map
+    bake vertices through the coarse mask. Density in regions no training
+    ray ever looked at is unconstrained by the loss — classic floaters —
+    and the bake would otherwise densify it onto the grid (measured:
+    -7 dB on held-out views in the unobserved azimuth wedge of the
+    synthetic scene). The mask MUST be coarser than the bake grid: the
+    visibility rays are sparse (subsampled pixels), so marking fine
+    voxels directly leaves most truly-visible voxels unmarked and culls
+    real surface (measured: -10 dB everywhere). mask_resolution^2 should
+    not exceed the per-view ray count (H/subsample x W/subsample).
+    """
+    from indoor_nerf_tpu.ops.rays import get_rays
+
+    R = mask_resolution
+    poses = jnp.asarray(cameras["poses"], jnp.float32)  # [V, 3, 4]
+    K = jnp.asarray(cameras["K"], jnp.float32)
+    H = int(cameras["H"]) // subsample
+    W = int(cameras["W"]) // subsample
+    Ks = K * jnp.asarray([[1.0 / subsample], [1.0 / subsample], [1.0]],
+                         jnp.float32)
+    near = float(cameras["near"])
+    far = float(cameras["far"])
+    bmin_j = jnp.asarray(bmin)
+    bmax_j = jnp.asarray(bmax)
+
+    @jax.jit
+    def view_weights(grid, c2w):
+        rays_o, rays_d = get_rays(H, W, Ks, c2w)
+        ro = rays_o.reshape(-1, 3)
+        rd = rays_d.reshape(-1, 3)
+        t0, t1 = _ray_aabb(ro, rd, bmin_j, bmax_j, near, far)
+        ts = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
+        z = t0[:, None] + (t1 - t0)[:, None] * ts[None, :]
+        pts = ro[:, None, :] + rd[:, None, :] * z[..., None]
+        sigma, _ = _sigma_geo_query(
+            params, config, mlp_name, pts.reshape(-1, 3))
+        sigma = sigma.reshape(z.shape)
+        dists = jnp.concatenate(
+            [z[:, 1:] - z[:, :-1],
+             jnp.full((z.shape[0], 1), 1e10, jnp.float32)], axis=-1
+        ) * jnp.linalg.norm(rd, axis=-1, keepdims=True)
+        alpha = 1.0 - jnp.exp(-jax.nn.relu(sigma) * dists)
+        trans = jnp.cumprod(
+            jnp.concatenate(
+                [jnp.ones((z.shape[0], 1), jnp.float32),
+                 1.0 - alpha + 1e-10], axis=-1), axis=-1)[:, :-1]
+        w = (alpha * trans).reshape(-1)
+        rel = (pts.reshape(-1, 3) - bmin_j) / (bmax_j - bmin_j) * R
+        v = jnp.clip(rel.astype(jnp.int32), 0, R - 1)
+        vox = (v[:, 0] * R + v[:, 1]) * R + v[:, 2]
+        return grid.at[vox].max(w)
+
+    grid = jnp.zeros((R**3,), jnp.float32)
+    for vi in range(poses.shape[0]):
+        grid = view_weights(grid, poses[vi])
+
+    keep_cell = (grid >= threshold).reshape(R, R, R)
+    # Dilate by one cell (3^3 OR) so coarse-cell boundaries and the
+    # trilinear support of kept voxels are never clipped.
+    kc = jnp.pad(keep_cell, 1, constant_values=False)
+    dil = jnp.zeros((R, R, R), jnp.bool_)
+    for dx in (0, 1, 2):
+        for dy in (0, 1, 2):
+            for dz in (0, 1, 2):
+                dil = dil | kc[dx:dx + R, dy:dy + R, dz:dz + R]
+
+    # Map bake vertices (resolution+1 per edge) through the coarse mask.
+    V = resolution + 1
+    vi = jnp.clip(
+        (jnp.arange(V, dtype=jnp.int32) * R) // resolution, 0, R - 1)
+    keep_vert = dil[vi[:, None, None], vi[None, :, None], vi[None, None, :]]
+    return keep_vert.reshape(-1)
+
+
 def bake_field(
     params: Dict[str, Any],
     config: FieldConfig,
     resolution: int = 256,
     table_dtype: str = "bfloat16",
     blocks_per_chunk: int = 2048,
+    train_cameras: Optional[Dict[str, Any]] = None,
+    vis_threshold: float = 1e-3,
+    vis_subsample: int = 4,
 ) -> Dict[str, Any]:
     """Bake a trained grid field into a block-tile snapshot.
 
     Returns a pytree ``{"table": [n_blocks, F*128], "block_max": [n_blocks],
     "color_net": ..., "config": BakedConfig}``. ``block_max`` is the max
     sigma per block (empty-space statistics for samplers/debug).
+
+    ``train_cameras`` ({"poses" [V,3,4], "K", "H", "W", "near", "far"})
+    enables SNeRG-style visibility culling: density in voxels that carry
+    < ``vis_threshold`` compositing weight from every training ray is
+    zeroed before baking (see _visibility_mask — floaters in unobserved
+    regions otherwise dominate held-out-view error).
 
     Only ``uses_grid`` fields (NeRFSmall sigma/color split) can be baked.
     """
@@ -158,6 +260,17 @@ def bake_field(
         return s.reshape(-1)[: V**3], g.reshape(-1, geo_dim)[: V**3]
 
     vert_sigma, geo_table = bake_vertices()  # [V^3], [V^3, geo]
+
+    if train_cameras is not None:
+        keep_vert = _visibility_mask(
+            params, config, mlp_name, resolution, bmin, bmax,
+            train_cameras, subsample=vis_subsample,
+            threshold=vis_threshold,
+        )
+        # Pre-ReLU sigma: a large negative value renders as zero density
+        # (and as log1p(relu(.)) = 0 in the int8 log-space path).
+        vert_sigma = jnp.where(
+            keep_vert, vert_sigma, jnp.asarray(-1e4, vert_sigma.dtype))
 
     # Optional int8 snapshot: sigma in log1p space (127 levels over the
     # log range keeps surface densities resolvable), geo with per-feature

@@ -93,8 +93,13 @@ def main():
     print(f"trained {args.iters} iters in {train_s:.1f}s, "
           f"train PSNR {train_psnr:.2f}")
 
+    train_cams = {
+        "poses": scene["poses"][scene["i_split"][0]],
+        "K": scene["K"], "H": H, "W": W,
+        "near": scene["near"], "far": scene["far"],
+    }
     baked = bake_field(state["params"], fc, resolution=args.baked_res,
-                       table_dtype="bfloat16")
+                       table_dtype="bfloat16", train_cameras=train_cams)
     float(baked["voxel_geo"].astype("float32").sum())
 
     online = make_image_renderer(rc.test_mode(), H, W, 4096)

@@ -75,10 +75,23 @@ def build(args):
         else:
             print(f"baking snapshot at {args.baked_res}^3 ...")
             t0 = time.perf_counter()
+            # Visibility-cull from the training cameras (floaters in
+            # never-observed regions otherwise densify onto the grid).
+            Ht, Wt = int(scene.hwf[0]), int(scene.hwf[1])
+            Kt = np.array([[scene.hwf[2], 0, 0.5 * Wt],
+                           [0, scene.hwf[2], 0.5 * Ht], [0, 0, 1]],
+                          np.float32)
+            train_cams = {
+                "poses": np.asarray(scene.poses)[scene.i_train][:, :3, :4],
+                "K": scene.K if scene.K is not None else Kt,
+                "H": Ht, "W": Wt,
+                "near": scene.near, "far": scene.far,
+            }
             baked = bake_field(state["params"], cfg.render.field,
                                resolution=args.baked_res,
                                table_dtype=getattr(args, "baked_dtype",
-                                                   "bfloat16"))
+                                                   "bfloat16"),
+                               train_cameras=train_cams)
             print(f"baked in {time.perf_counter() - t0:.1f}s")
             if snap:
                 save_baked(snap, baked)

@@ -135,6 +135,27 @@ def test_baked_render_matches_online():
     assert psnr_baked > 18.0, (psnr_baked, psnr_online)
     assert psnr_baked > psnr_online - 6.0, (psnr_baked, psnr_online)
 
+    # Visibility culling (SNeRG-style): zero density in voxels no training
+    # ray puts weight on. Must not HURT held-out quality (it removes only
+    # unobserved-region floaters) and must actually cull something.
+    train_cams = {
+        "poses": scene["poses"][scene["i_split"][0]],
+        "K": scene["K"], "H": H, "W": W,
+        "near": scene["near"], "far": scene["far"],
+    }
+    baked_c = bake_field(state["params"], fc, resolution=64,
+                         table_dtype="float32", blocks_per_chunk=256,
+                         train_cameras=train_cams, vis_subsample=2)
+    rgb_c = np.asarray(
+        make_baked_image_renderer(baked_c, H, W, tile_rays=1024,
+                                  n_samples=96)(
+            c2w, scene["K"], scene["near"], scene["far"])["rgb_map"])
+    assert np.all(np.isfinite(rgb_c))
+    psnr_c = -10 * np.log10(np.mean((rgb_c - gt) ** 2))
+    assert psnr_c > psnr_baked - 0.3, (psnr_c, psnr_baked)
+    # Culling really zeroed unobserved vertices (the -1e4 sentinel).
+    assert float(jnp.min(baked_c["sigma_table"])) < -1e3
+
     # int8 snapshot (log-space sigma + per-feature geo scales) stays within
     # ~1 dB of the float bake, and survives a save/load round trip.
     import os
