@@ -129,11 +129,25 @@ def load_dataset(args) -> SceneData:
         bounding_box = None
 
     elif args.dataset_type == "synthetic":
-        # Built-in procedural scene (no external data needed; not in the
+        # Built-in procedural scenes (no external data needed; not in the
         # reference — used for smoke runs and benchmarks).
-        from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+        # --synthetic_variant room: indoor Manhattan room (checker floor,
+        # walls, boxes) for structural-prior experiments;
+        # --synthetic_n_views/--synthetic_res/--synthetic_n_train control
+        # view count, resolution and the few-shot split.
+        from indoor_nerf_tpu.data.synthetic import (
+            make_room_scene,
+            make_synthetic_scene,
+        )
 
-        scene = make_synthetic_scene(n_views=12, H=64, W=64)
+        n_views = getattr(args, "synthetic_n_views", None) or 12
+        res = getattr(args, "synthetic_res", None) or 64
+        n_train = getattr(args, "synthetic_n_train", None)
+        if getattr(args, "synthetic_variant", "sphere") == "room":
+            scene = make_room_scene(n_views=n_views, H=res, W=res,
+                                    n_train=n_train)
+        else:
+            scene = make_synthetic_scene(n_views=n_views, H=res, W=res)
         images = scene["images"]
         poses = scene["poses"]
         render_poses = scene["poses"][:4]

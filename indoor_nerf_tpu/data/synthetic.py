@@ -11,7 +11,7 @@ loader's (reference: PocketNeRF/load_blender.py:30-35, run_nerf.py:768-769).
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import numpy as np
 
@@ -92,5 +92,153 @@ def make_synthetic_scene(
         "far": 6.0,
         "bbox_min": (-1.5, -1.5, -1.5),
         "bbox_max": (1.5, 1.5, 1.5),
+        "i_split": (idx[:n_train], idx[n_train:], idx[n_train:]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Procedural indoor room — the structural-priors test scene.
+# ---------------------------------------------------------------------------
+
+_ROOM_HALF = 1.5       # walls at x,y = +-1.5
+_ROOM_ZLO, _ROOM_ZHI = 0.0, 1.5
+_ROOM_BOXES = [        # (min3, max3, albedo) — furniture on the floor
+    ((-1.0, -1.1, 0.0), (-0.4, -0.5, 0.55), (0.75, 0.25, 0.2)),
+    ((0.35, 0.3, 0.0), (1.05, 1.0, 0.35), (0.2, 0.35, 0.75)),
+]
+_ROOM_LIGHT = np.array([0.25, 0.15, -1.0]) / np.linalg.norm(
+    [0.25, 0.15, -1.0])
+
+
+def _render_room(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
+    """Ray-trace the analytic room: floor/ceiling/4 walls seen from inside
+    plus two axis-aligned boxes. Lambert shading from a fixed light +
+    ambient; floor is checkered (gives the planarity losses texture to
+    work against). Every ray hits geometry (indoor scene — no background)."""
+    d = rays_d / np.linalg.norm(rays_d, axis=-1, keepdims=True)
+    o = rays_o
+    n_rays = o.shape[0]
+    big = 1e9
+
+    best_t = np.full(n_rays, big)
+    best_n = np.zeros((n_rays, 3))
+    best_alb = np.zeros((n_rays, 3))
+
+    def consider(t, n, alb, valid):
+        nonlocal best_t, best_n, best_alb
+        upd = valid & (t > 1e-4) & (t < best_t)
+        best_t = np.where(upd, t, best_t)
+        best_n = np.where(upd[:, None], n, best_n)
+        best_alb = np.where(upd[:, None], alb, best_alb)
+
+    # Room interior: exit of the slab box (the nearest surface looking out).
+    lo = np.array([-_ROOM_HALF, -_ROOM_HALF, _ROOM_ZLO])
+    hi = np.array([_ROOM_HALF, _ROOM_HALF, _ROOM_ZHI])
+    wall_albedo = {
+        (0, -1): (0.85, 0.8, 0.7), (0, 1): (0.7, 0.8, 0.85),
+        (1, -1): (0.8, 0.85, 0.7), (1, 1): (0.82, 0.72, 0.82),
+        (2, -1): None,  # floor handled separately (checker)
+        (2, 1): (0.9, 0.9, 0.9),  # ceiling
+    }
+    for axis in range(3):
+        for sgn in (-1, 1):
+            plane = lo[axis] if sgn < 0 else hi[axis]
+            da = d[:, axis]
+            t = np.where(np.abs(da) > 1e-9, (plane - o[:, axis])
+                         / np.where(np.abs(da) > 1e-9, da, 1.0), big)
+            p = o + t[:, None] * d
+            inside = np.ones(n_rays, bool)
+            for a2 in range(3):
+                if a2 == axis:
+                    continue
+                inside &= (p[:, a2] >= lo[a2] - 1e-6) & (
+                    p[:, a2] <= hi[a2] + 1e-6)
+            n = np.zeros((n_rays, 3))
+            n[:, axis] = -sgn  # interior-facing normal
+            if axis == 2 and sgn < 0:  # floor checker
+                checker = ((np.floor(2.0 * p[:, 0])
+                            + np.floor(2.0 * p[:, 1])) % 2)
+                alb = (0.45 + 0.25 * checker)[:, None] * np.array(
+                    [[1.0, 0.92, 0.8]])
+            else:
+                alb = np.broadcast_to(
+                    np.array(wall_albedo[(axis, sgn)]), (n_rays, 3)).copy()
+            consider(t, n, alb, inside)
+
+    # Boxes (seen from outside: slab entry).
+    for bmin, bmax, alb in _ROOM_BOXES:
+        bmin = np.asarray(bmin)
+        bmax = np.asarray(bmax)
+        safe_d = np.where(np.abs(d) > 1e-9, d, 1e-9)
+        ta = (bmin[None] - o) / safe_d
+        tb = (bmax[None] - o) / safe_d
+        t0 = np.minimum(ta, tb)
+        t1 = np.maximum(ta, tb)
+        tin = t0.max(axis=-1)
+        tout = t1.min(axis=-1)
+        hit = (tout > tin) & (tout > 1e-4)
+        ax = np.argmax(t0, axis=-1)
+        p = o + tin[:, None] * d
+        n = np.zeros((n_rays, 3))
+        for a2 in range(3):
+            sel = ax == a2
+            n[sel, a2] = -np.sign(d[sel, a2])
+        consider(tin, n, np.broadcast_to(np.asarray(alb),
+                                         (n_rays, 3)).copy(), hit)
+
+    light = np.clip(-np.sum(best_n * _ROOM_LIGHT[None], axis=-1), 0.0, 1.0)
+    rgb = best_alb * (0.35 + 0.65 * light)[:, None]
+    return np.clip(rgb, 0.0, 1.0).astype(np.float32)
+
+
+def make_room_scene(
+    n_views: int = 12, H: int = 64, W: int = 64, seed: int = 0,
+    n_train: Optional[int] = None,
+) -> Dict[str, np.ndarray]:
+    """Procedural INDOOR scene: a Manhattan-world room (checker floor, 4
+    walls, ceiling, two boxes) viewed from cameras inside it.
+
+    This is the structural-priors test scene — the reference's headline
+    few-shot indoor setting (README.md:43, test_structural_v2.sh) without
+    external data: dominant axis-aligned planes for the Manhattan/
+    planarity losses, and an ``n_train`` override for few-shot splits
+    (reference protocol: 8 train views, notebook cell 6).
+    """
+    rng = np.random.default_rng(seed)
+    focal = 0.7 * W  # wide-ish lens, indoor
+    K = np.array(
+        [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float32
+    )
+    thetas = np.linspace(0, 2 * np.pi, n_views, endpoint=False)
+    poses, images = [], []
+    for theta in thetas:
+        pos = np.array([0.45 * np.cos(theta), 0.45 * np.sin(theta),
+                        0.75 + 0.1 * rng.uniform(-1, 1)])
+        # Look outward at the walls, slightly downward (floor visible).
+        target = np.array([1.3 * np.cos(theta), 1.3 * np.sin(theta), 0.3])
+        z = pos - target  # NeRF convention: camera -z toward target
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, 0.0, 1.0])
+        x = np.cross(up, z)
+        x = x / np.linalg.norm(x)
+        y = np.cross(z, x)
+        c2w = np.stack([x, y, z, pos], axis=-1).astype(np.float32)
+        rays_o, rays_d = get_rays_np(H, W, K, c2w)
+        images.append(_render_room(rays_o.reshape(-1, 3),
+                                   rays_d.reshape(-1, 3)).reshape(H, W, 3))
+        poses.append(c2w)
+
+    if n_train is None:
+        n_train = max(1, int(0.8 * n_views))
+    idx = np.arange(n_views)
+    return {
+        "images": np.stack(images),
+        "poses": np.stack(poses),
+        "hwf": [H, W, focal],
+        "K": K,
+        "near": 0.1,
+        "far": 6.0,
+        "bbox_min": (-1.7, -1.7, -0.2),
+        "bbox_max": (1.7, 1.7, 1.7),
         "i_split": (idx[:n_train], idx[n_train:], idx[n_train:]),
     }

@@ -170,6 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
              "— fewer scatter rows in the transaction-bound encode "
              "backward. Quality-neutral for coarse levels (their feature "
              "scale >> sample spacing)")
+    add("--synthetic_variant", type=str, default="sphere",
+        choices=["sphere", "room"],
+        help="built-in procedural scene for --dataset_type synthetic: "
+             "'sphere' (checker sphere on white) or 'room' (indoor "
+             "Manhattan room for structural-prior experiments)")
+    add("--synthetic_n_views", type=int, default=None,
+        help="view count of the procedural scene (default 12)")
+    add("--synthetic_res", type=int, default=None,
+        help="image resolution of the procedural scene (default 64)")
+    add("--synthetic_n_train", type=int, default=None,
+        help="few-shot split: train-view count of the procedural room "
+             "scene (default 80%%)")
     add("--use_pallas", action="store_true",
         help="use the fused Pallas hash-encode kernel where available")
     add("--profile_dir", type=str, default=None,
