@@ -99,26 +99,39 @@ def fake_quant_fixed(
     return x_dequant
 
 
-def calibrate(group: QuantState, x: jnp.ndarray, symmetric: bool) -> QuantState:
-    """One-shot running min/max calibration (reference: quantization.py:97-119).
+def calibrate(group: QuantState, x: jnp.ndarray, symmetric: bool,
+              momentum: float = 0.05) -> QuantState:
+    """Running min/max calibration: instant-EXPAND, EMA-shrink.
 
-    Applied lazily on the first training batch per quantizer; subsequent
-    calls are identity (the reference's ``calibrated`` flag).
+    DIVERGENCE from the reference's one-shot first-batch calibration
+    (quantization.py:97-119, frozen by the ``calibrated`` flag): NeRF
+    weights/activations/tables GROW for thousands of steps after any
+    early calibration point, so a frozen range clamps nearly everything
+    that is learned afterwards — quantized training collapses (measured
+    10 dB vs 24 dB fp at 150 steps; the reference's own quality note,
+    debug.py:88, is for its PASSTHROUGH quantizer). Here the range tracks
+    the content, as in standard QAT observers: it widens instantly to
+    cover the current batch (never clamps new content) and shrinks with
+    an EMA when values retreat. First call adopts the batch range
+    exactly. ``calibrated`` now only gates eval-time quantization (it
+    flips on at the first train call).
     """
     done = group["calibrated"]
-    batch_min = jnp.minimum(group["running_min"], jnp.min(x))
-    batch_max = jnp.maximum(group["running_max"], jnp.max(x))
+    bmin = jnp.min(x)
+    bmax = jnp.max(x)
+    ema_min = (1.0 - momentum) * group["running_min"] + momentum * bmin
+    ema_max = (1.0 - momentum) * group["running_max"] + momentum * bmax
+    new_min = jnp.where(done, jnp.minimum(ema_min, bmin), bmin)
+    new_max = jnp.where(done, jnp.maximum(ema_max, bmax), bmax)
     new = dict(group)
-    new["running_min"] = jnp.where(done, group["running_min"], batch_min)
-    new["running_max"] = jnp.where(done, group["running_max"], batch_max)
+    new["running_min"] = new_min
+    new["running_max"] = new_max
     if symmetric:
-        max_abs = jnp.maximum(jnp.abs(batch_min), jnp.abs(batch_max))
-        new["range_scale"] = jnp.where(done, group["range_scale"], 2.0 * max_abs)
+        max_abs = jnp.maximum(jnp.abs(new_min), jnp.abs(new_max))
+        new["range_scale"] = 2.0 * max_abs
     else:
-        new["range_scale"] = jnp.where(
-            done, group["range_scale"], batch_max - batch_min
-        )
-        new["v_max"] = jnp.where(done, group["v_max"], batch_max)
+        new["range_scale"] = new_max - new_min
+        new["v_max"] = new_max
     new["calibrated"] = jnp.ones_like(done)
     return new
 

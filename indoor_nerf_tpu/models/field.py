@@ -196,19 +196,29 @@ def _quantize_corner_feats(
         active = step >= qc.warmup_steps
 
     if train:
-        # Lazy one-shot calibration on the first active training batch
-        # (per-level min/max over the [N, 8, F] axes).
+        # Running calibration: instant-expand / EMA-shrink while active
+        # (per-level min/max over the [N, 8, F] axes) — see
+        # losses/quantization.py::calibrate for why a frozen one-shot
+        # range collapses training.
+        m = 0.05
         lvl_min = jnp.min(corner_feats, axis=(0, 2, 3))
         lvl_max = jnp.max(corner_feats, axis=(0, 2, 3))
-        done = group["calibrated"] | jnp.logical_not(active)
+        done = group["calibrated"]
+        ema_min = (1.0 - m) * group["running_min"] + m * lvl_min
+        ema_max = (1.0 - m) * group["running_max"] + m * lvl_max
+        new_min = jnp.where(done, jnp.minimum(ema_min, lvl_min), lvl_min)
+        new_max = jnp.where(done, jnp.maximum(ema_max, lvl_max), lvl_max)
+        act_l = jnp.broadcast_to(jnp.asarray(active).reshape(-1),
+                                 done.shape)  # [L]
         new_group = dict(group)
-        new_group["running_min"] = jnp.where(done, group["running_min"], lvl_min)
-        new_group["running_max"] = jnp.where(done, group["running_max"], lvl_max)
+        new_group["running_min"] = jnp.where(act_l, new_min,
+                                             group["running_min"])
+        new_group["running_max"] = jnp.where(act_l, new_max,
+                                             group["running_max"])
         new_group["range_scale"] = jnp.where(
-            done, group["range_scale"], lvl_max - lvl_min
-        )
-        new_group["v_max"] = jnp.where(done, group["v_max"], lvl_max)
-        new_group["calibrated"] = group["calibrated"] | active
+            act_l, new_max - new_min, group["range_scale"])
+        new_group["v_max"] = jnp.where(act_l, new_max, group["v_max"])
+        new_group["calibrated"] = group["calibrated"] | act_l
         group = new_group
 
     def bc(v):  # [L] -> [1, L, 1, 1]
@@ -269,17 +279,24 @@ def _quantize_block_table(
 
     t = table.reshape(L, -1)  # [L, R * F * 128]
 
+    # LIVE per-level range, recomputed every call. DIVERGENCE from the
+    # reference's one-shot first-batch calibration (quantization.py:97-119,
+    # a cost hack for batch-dependent features): the table keeps growing
+    # for thousands of steps after any early calibration point, so a
+    # frozen range clamps nearly all of it and training collapses
+    # (measured 13.0 dB vs 41.8 fp on the flagship — acaq_experiment.json
+    # pre-fix). The table is not batch-dependent, so the EXACT range is
+    # one cheap [L, R*F*128] reduction per step; quantization stays a pure
+    # function of the current table. State still records the values for
+    # logging/inspection.
+    lvl_min = jnp.min(t, axis=1)
+    lvl_max = jnp.max(t, axis=1)
     if train:
-        lvl_min = jnp.min(t, axis=1)
-        lvl_max = jnp.max(t, axis=1)
-        done = group["calibrated"] | jnp.logical_not(active)
         new_group = dict(group)
-        new_group["running_min"] = jnp.where(done, group["running_min"], lvl_min)
-        new_group["running_max"] = jnp.where(done, group["running_max"], lvl_max)
-        new_group["range_scale"] = jnp.where(
-            done, group["range_scale"], lvl_max - lvl_min
-        )
-        new_group["v_max"] = jnp.where(done, group["v_max"], lvl_max)
+        new_group["running_min"] = lvl_min
+        new_group["running_max"] = lvl_max
+        new_group["range_scale"] = lvl_max - lvl_min
+        new_group["v_max"] = lvl_max
         new_group["calibrated"] = group["calibrated"] | active
         group = new_group
 
@@ -288,8 +305,8 @@ def _quantize_block_table(
     qmin = jnp.zeros_like(int_bits)
     qmax = jnp.exp2(int_bits) - 1.0
     b = bits if train else int_bits
-    scale = jnp.clip(group["range_scale"], min=1e-8) / (jnp.exp2(b) - 1.0)
-    zero_point = jnp.round(jnp.clip(-group["running_min"] / scale, qmin, qmax))
+    scale = jnp.clip(lvl_max - lvl_min, min=1e-8) / (jnp.exp2(b) - 1.0)
+    zero_point = jnp.round(jnp.clip(-lvl_min / scale, qmin, qmax))
 
     def col(v):  # [L] -> [L, 1]
         return v[:, None]

@@ -72,14 +72,23 @@ def test_learned_quant_ste_gradient(rng):
     np.testing.assert_allclose(np.asarray(g), 1.0)
 
 
-def test_calibration_one_shot():
+def test_calibration_tracks_content():
+    """Running calibration: first call adopts the batch range exactly;
+    wider later content EXPANDS the range instantly (a frozen range
+    clamps everything learned after step 0 — quantized training
+    collapsed, see DIVERGENCES); shrinking content contracts slowly via
+    the EMA."""
     state = init_quant_state(CFG)
     g1 = calibrate(state["weight"], jnp.asarray([-2.0, 3.0]), symmetric=True)
     assert float(g1["range_scale"]) == 6.0  # 2 * max_abs
     assert bool(g1["calibrated"])
-    # second call with a wider batch must be a no-op (reference flag)
+    # Wider batch -> instant expansion (never clamp new content).
     g2 = calibrate(g1, jnp.asarray([-10.0, 10.0]), symmetric=True)
-    assert float(g2["range_scale"]) == 6.0
+    assert float(g2["range_scale"]) == 20.0
+    # Narrower batch -> slow EMA shrink, still covering recent content.
+    g3 = calibrate(g2, jnp.asarray([-1.0, 1.0]), symmetric=True)
+    assert 2.0 < float(g3["range_scale"]) < 20.0
+    assert float(g3["running_max"]) >= 1.0
 
 
 def test_acaq_controller_dynamics():
