@@ -122,11 +122,14 @@ def _visibility_mask(
     """
     from indoor_nerf_tpu.ops.rays import get_rays
 
-    R = mask_resolution
     poses = jnp.asarray(cameras["poses"], jnp.float32)  # [V, 3, 4]
     K = jnp.asarray(cameras["K"], jnp.float32)
     H = int(cameras["H"]) // subsample
     W = int(cameras["W"]) // subsample
+    # Self-clamp: the mask can never be finer than the visibility rays —
+    # mask cells facing a camera must each see >= ~1 ray or sparse rays
+    # leave truly-visible cells unmarked and culling destroys surface.
+    R = max(4, min(mask_resolution, H, W))
     Ks = K * jnp.asarray([[1.0 / subsample], [1.0 / subsample], [1.0]],
                          jnp.float32)
     near = float(cameras["near"])

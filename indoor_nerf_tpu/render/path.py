@@ -40,6 +40,7 @@ def render_path(
     tile_rays: int = 16384,
     save_figures: bool = True,
     mesh=None,
+    image_renderer=None,
 ) -> Tuple[np.ndarray, np.ndarray, List[float]]:
     """Render every pose; returns (rgbs, depths_normalized, psnrs).
 
@@ -59,7 +60,14 @@ def render_path(
             [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float64
         )
 
-    if mesh is not None and mesh.devices.size > 1:
+    if image_renderer is not None:
+        # Pre-built whole-image renderer, e.g. the baked deferred-shading
+        # one (render/baked.py) for ~30x faster videos/testsets; must have
+        # been built for THIS (possibly render_factor-scaled) H, W.
+        def renderer(params, c2w, K, near, far, quant_state, occ_state):
+            return image_renderer(c2w, K, near, far)
+
+    elif mesh is not None and mesh.devices.size > 1:
         from indoor_nerf_tpu.parallel.sp import make_sharded_image_renderer
 
         n_dev = mesh.devices.size

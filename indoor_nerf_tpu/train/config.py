@@ -170,6 +170,18 @@ def build_parser() -> argparse.ArgumentParser:
              "— fewer scatter rows in the transaction-bound encode "
              "backward. Quality-neutral for coarse levels (their feature "
              "scale >> sample spacing)")
+    add("--render_baked", action="store_true",
+        help="with --render_only: bake the checkpoint (visibility-culled) "
+             "and render through the deferred-shading snapshot — ~30x "
+             "faster videos/testsets (docs/SERVING.md). Meant for "
+             "CONVERGED checkpoints: on foggy early fields the bake's "
+             "finer march integrates the fog differently than the "
+             "training discretization")
+    add("--render_baked_res", type=int, default=256,
+        help="with --render_baked: bake grid resolution")
+    add("--render_guided", type=int, default=4,
+        help="with --render_baked: depth-guided coarse factor (0 = "
+             "uniform 128-sample march)")
     add("--synthetic_variant", type=str, default="sphere",
         choices=["sphere", "room"],
         help="built-in procedural scene for --dataset_type synthetic: "

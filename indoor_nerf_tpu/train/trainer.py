@@ -271,12 +271,49 @@ def train(args) -> Dict:
         )
         os.makedirs(testsavedir, exist_ok=True)
         print("test poses shape", render_poses.shape)
-        rgbs, _, _ = render_path(
-            render_poses, scene.hwf, K, test_config, state["params"],
-            scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
-            render_factor=args.render_factor, quant_state=state["quant"],
-            occ_state=state.get("occ"),
-        )
+        if getattr(args, "render_baked", False):
+            # Bake once (with visibility culling from the train cameras),
+            # then render every pose through the depth-guided baked
+            # renderer — ~30x faster than the online field for
+            # videos/testsets (docs/SERVING.md, BENCH_NOTES.md).
+            from indoor_nerf_tpu.render.baked import (
+                bake_field,
+                make_baked_image_renderer,
+            )
+
+            Hb, Wb, focalb = scene.hwf
+            if args.render_factor != 0:
+                Hb //= args.render_factor
+                Wb //= args.render_factor
+            train_cams = {
+                "poses": np.asarray(scene.poses)[scene.i_train][:, :3, :4],
+                "K": K, "H": int(scene.hwf[0]), "W": int(scene.hwf[1]),
+                "near": scene.near, "far": scene.far,
+            }
+            print(f"[baked] baking at {args.render_baked_res}^3 ...")
+            baked = bake_field(
+                state["params"], cfg.render.field,
+                resolution=args.render_baked_res,
+                train_cameras=train_cams,
+            )
+            g = args.render_guided
+            image_renderer = make_baked_image_renderer(
+                baked, int(Hb), int(Wb),
+                n_samples=(24 if g else 128), guided=g, n_coarse=96,
+            )
+            rgbs, _, _ = render_path(
+                render_poses, scene.hwf, K, test_config, state["params"],
+                scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
+                render_factor=args.render_factor,
+                image_renderer=image_renderer,
+            )
+        else:
+            rgbs, _, _ = render_path(
+                render_poses, scene.hwf, K, test_config, state["params"],
+                scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
+                render_factor=args.render_factor, quant_state=state["quant"],
+                occ_state=state.get("occ"),
+            )
         print("Done rendering", testsavedir)
         write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
         return {}

@@ -124,3 +124,18 @@ def test_render_only(tmp_path):
     assert rdirs
     # mp4 if an ffmpeg backend exists, else the documented GIF fallback
     assert glob.glob(os.path.join(rdirs[0], "video.*"))
+
+    # --render_baked: same surface through the baked snapshot (the bake of
+    # this barely-trained field is low quality — plumbing, figures and
+    # video are what this asserts; quality is asserted in test_baked.py).
+    for f in glob.glob(os.path.join(rdirs[0], "*")):
+        os.remove(f)
+    os.rmdir(rdirs[0])
+    args3 = _args(tmp_path, n_iters=20, render_only=True, render_test=True,
+                  render_baked=True, render_baked_res=32)
+    args3.expname = "smoke"
+    train(args3)
+    rdirs = glob.glob(os.path.join(logdir, "renderonly_test_*"))
+    assert rdirs
+    assert glob.glob(os.path.join(rdirs[0], "video.*"))
+    assert glob.glob(os.path.join(rdirs[0], "0*.png"))
