@@ -444,6 +444,11 @@ def _stride_knots(S: int, k: int) -> Tuple[np.ndarray, np.ndarray]:
     if ks[-1] != S - 1:
         ks.append(S - 1)
     K = len(ks)
+    if K == 1:
+        # S == 1 degenerate case: a single knot reproduces the single
+        # sample exactly. (Without this, j = min(0, K-2) = -1 below wraps
+        # W[0, -1] to column 0 and the w=0 overwrite zeroes the row.)
+        return np.asarray(ks, np.int32), np.ones((S, 1), np.float32)
     W = np.zeros((S, K), np.float32)
     for s in range(S):
         j = min(s // k, K - 2)

@@ -497,8 +497,15 @@ def baked_render_rays(
 
     t0, t1 = _ray_aabb(rays_o, rays_d, bmin, bmax, near, far)
     if t_bounds is not None:
-        t0 = jnp.maximum(t0, t_bounds[0])
-        t1 = jnp.maximum(jnp.minimum(t1, t_bounds[1]), t0)
+        # Intersect the guided interval with the AABB interval. When they
+        # are disjoint (e.g. dmin-margin pushed past a border ray's AABB
+        # exit) fall back to the FULL AABB range instead of collapsing the
+        # march to one repeated sample at t0.
+        g0 = jnp.maximum(t0, t_bounds[0])
+        g1 = jnp.minimum(t1, t_bounds[1])
+        empty = g1 <= g0
+        t0 = jnp.where(empty, t0, g0)
+        t1 = jnp.where(empty, t1, g1)
     ts = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
     z = t0[:, None] + (t1 - t0)[:, None] * ts[None, :]  # [N, S]
     pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
@@ -685,8 +692,16 @@ def make_baked_image_renderer(
         if guided:
             g = guided
             Hc, Wc = -(-H // g), -(-W // g)
+            # Coarse intrinsics: scale by 1/g AND shift the principal point
+            # so coarse pixel i casts through the CENTER of its g x g
+            # full-res block (g*i + (g-1)/2), not the top-left corner. With
+            # the corner alignment, non-divisible H/W left border blocks'
+            # depth bounds sourced from rays up to g-1 pixels away; centers
+            # halve the worst-case offset and stay inside every block.
+            off = (g - 1) / (2.0 * g)
             scale = jnp.asarray([[1.0 / g], [1.0 / g], [1.0]], jnp.float32)
-            ro_c, rd_c = get_rays(Hc, Wc, K * scale, c2w)
+            Kc = (K * scale).at[0, 2].add(-off).at[1, 2].add(-off)
+            ro_c, rd_c = get_rays(Hc, Wc, Kc, c2w)
             ro_c = ro_c.reshape(-1, 3)
             rd_c = rd_c.reshape(-1, 3)
             vd_c = rd_c / jnp.linalg.norm(rd_c, axis=-1, keepdims=True)

@@ -225,6 +225,13 @@ def train(args) -> Dict:
         print("🔧 AUTOMATICALLY ENABLING NORMAL PREDICTION for structural priors")
         args.predict_normals = True
 
+    # Single-writer rule: on a shared-filesystem pod every host runs the
+    # same program (render compute included — collectives need all of
+    # them), but ONLY process 0 touches the filesystem. Everything below
+    # that writes — checkpoints, videos, testset figures, pkl dumps,
+    # MetricsLogger artifacts — is gated on is_main.
+    is_main = jax.process_index() == 0
+
     scene = load_dataset(args)
     H, W, focal = scene.hwf
     K = scene.K
@@ -233,15 +240,16 @@ def train(args) -> Dict:
     expname = mangle_expname(args)
     args.expname = expname
     logdir = os.path.join(basedir, expname)
-    os.makedirs(logdir, exist_ok=True)
-    with open(os.path.join(logdir, "args.txt"), "w") as f:
-        for arg in sorted(vars(args)):
-            f.write(f"{arg} = {getattr(args, arg)}\n")
-    if args.config is not None:
-        with open(os.path.join(logdir, "config.txt"), "w") as f:
-            f.write(open(args.config).read())
+    if is_main:
+        os.makedirs(logdir, exist_ok=True)
+        with open(os.path.join(logdir, "args.txt"), "w") as f:
+            for arg in sorted(vars(args)):
+                f.write(f"{arg} = {getattr(args, arg)}\n")
+        if args.config is not None:
+            with open(os.path.join(logdir, "config.txt"), "w") as f:
+                f.write(open(args.config).read())
 
-    metrics_logger = MetricsLogger(basedir, expname, args)
+    metrics_logger = MetricsLogger(basedir, expname, args, write=is_main)
     evaluator = ComprehensiveEvaluator()
 
     cfg = build_train_config(args, scene)
@@ -269,7 +277,9 @@ def train(args) -> Dict:
                 "test" if args.render_test else "path", start
             ),
         )
-        os.makedirs(testsavedir, exist_ok=True)
+        if is_main:
+            os.makedirs(testsavedir, exist_ok=True)
+        savedir = testsavedir if is_main else None
         print("test poses shape", render_poses.shape)
         if getattr(args, "render_baked", False):
             # Bake once (with visibility culling from the train cameras),
@@ -303,19 +313,20 @@ def train(args) -> Dict:
             )
             rgbs, _, _ = render_path(
                 render_poses, scene.hwf, K, test_config, state["params"],
-                scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
+                scene.near, scene.far, gt_imgs=gt, savedir=savedir,
                 render_factor=args.render_factor,
                 image_renderer=image_renderer,
             )
         else:
             rgbs, _, _ = render_path(
                 render_poses, scene.hwf, K, test_config, state["params"],
-                scene.near, scene.far, gt_imgs=gt, savedir=testsavedir,
+                scene.near, scene.far, gt_imgs=gt, savedir=savedir,
                 render_factor=args.render_factor, quant_state=state["quant"],
                 occ_state=state.get("occ"),
             )
         print("Done rendering", testsavedir)
-        write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
+        if is_main:
+            write_video(os.path.join(testsavedir, "video.mp4"), rgbs)
         return {}
 
     # Opt-in Pallas tile-interp kernel for the block-hash path (measured
@@ -476,7 +487,7 @@ def train(args) -> Dict:
         # fail fast with context so auto-resume restarts from a good ckpt).
         if not np.isfinite(loss):
             path = (save_checkpoint(logdir, i, state)
-                    if jax.process_index() == 0 else "<saved by process 0>")
+                    if is_main else "<saved by process 0>")
             raise FloatingPointError(
                 f"non-finite loss {loss} at iteration {i}; state saved to "
                 f"{path}. Re-run with --debug_nans to locate the op."
@@ -591,7 +602,7 @@ def train(args) -> Dict:
 
         t = time.time() - time0
 
-        if i % args.i_weights == 0 and jax.process_index() == 0:
+        if i % args.i_weights == 0 and is_main:
             path = save_checkpoint(logdir, i, state)
             print("Saved checkpoints at", path)
             metrics_logger.save_checkpoint(i)
@@ -610,20 +621,25 @@ def train(args) -> Dict:
                 save_figures=False, mesh=eval_mesh,
             )
             print("Done, saving", rgbs.shape, disps.shape)
-            moviebase = os.path.join(
-                logdir, "{}_spiral_{:06d}_".format(expname, i)
-            )
-            write_video(moviebase + "rgb.mp4", rgbs)
-            write_video(moviebase + "disp.mp4", disps / max(np.max(disps), 1e-8))
+            if is_main:
+                moviebase = os.path.join(
+                    logdir, "{}_spiral_{:06d}_".format(expname, i)
+                )
+                write_video(moviebase + "rgb.mp4", rgbs)
+                write_video(
+                    moviebase + "disp.mp4", disps / max(np.max(disps), 1e-8)
+                )
 
         if i % args.i_testset == 0 and i > 0 and len(scene.i_test) > 0:
             testsavedir = os.path.join(logdir, "testset_{:06d}".format(i))
-            os.makedirs(testsavedir, exist_ok=True)
+            if is_main:
+                os.makedirs(testsavedir, exist_ok=True)
             print("test poses shape", scene.poses[scene.i_test].shape)
             rgbs, _, psnrs = render_path(
                 scene.poses[scene.i_test], scene.hwf, K, test_config,
                 state["params"], scene.near, scene.far,
-                gt_imgs=scene.images[scene.i_test], savedir=testsavedir,
+                gt_imgs=scene.images[scene.i_test],
+                savedir=testsavedir if is_main else None,
                 quant_state=state["quant"], occ_state=state.get("occ"),
                 mesh=eval_mesh,
             )
@@ -668,13 +684,17 @@ def train(args) -> Dict:
                     "predict_normals": args.predict_normals,
                 },
             }
-            with open(os.path.join(logdir, "training_metrics.pkl"), "wb") as fp:
-                pickle.dump(training_data, fp)
-            with open(os.path.join(logdir, "loss_vs_time.pkl"), "wb") as fp:
-                pickle.dump(
-                    {"losses": loss_list, "psnr": psnr_list, "time": time_list},
-                    fp,
-                )
+            if is_main:
+                with open(os.path.join(logdir, "training_metrics.pkl"),
+                          "wb") as fp:
+                    pickle.dump(training_data, fp)
+                with open(os.path.join(logdir, "loss_vs_time.pkl"),
+                          "wb") as fp:
+                    pickle.dump(
+                        {"losses": loss_list, "psnr": psnr_list,
+                         "time": time_list},
+                        fp,
+                    )
 
             if i % 1000 == 0 and i > 0:
                 elapsed = (time.time() - time_metrics["start_time"]) / 60.0
@@ -692,7 +712,7 @@ def train(args) -> Dict:
         qb = _quant_bits(state) if args.use_quantization else None
         process_metrics(pending[0], pending[1], qb)
     final_step = int(np.asarray(jax.device_get(state["step"])))
-    if jax.process_index() == 0:
+    if is_main:
         save_checkpoint(logdir, final_step, state)
     metrics_logger.save_checkpoint(final_step)
     metrics_logger.plot_training_curves()

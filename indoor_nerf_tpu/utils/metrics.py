@@ -23,12 +23,19 @@ import numpy as np
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, experiment_name: str, config):
+    def __init__(self, log_dir: str, experiment_name: str, config,
+                 write: bool = True):
+        """``write=False`` keeps all in-memory series live but turns every
+        filesystem write (config.json, pkl/CSV checkpoints, PNGs, summary
+        tables) into a no-op — used by non-zero processes in multihost runs
+        so hosts sharing a filesystem never race on the same artifacts."""
         self.log_dir = log_dir
         self.experiment_name = experiment_name
         self.config = config
+        self.write = write
         self.metrics_dir = os.path.join(log_dir, experiment_name, "metrics")
-        os.makedirs(self.metrics_dir, exist_ok=True)
+        if write:
+            os.makedirs(self.metrics_dir, exist_ok=True)
 
         self.metrics: Dict[str, list] = {
             "iteration": [], "time": [], "loss": [], "psnr": [],
@@ -50,6 +57,8 @@ class MetricsLogger:
 
     def save_config(self):
         """config.json for reproducibility (reference: metric_logger.py:66-70)."""
+        if not self.write:
+            return
         path = os.path.join(self.metrics_dir, "config.json")
         cfg = self.config if isinstance(self.config, dict) else vars(self.config)
         with open(path, "w") as f:
@@ -140,6 +149,8 @@ class MetricsLogger:
 
     def save_checkpoint(self, iteration):
         """metrics_iter_N.pkl + CSVs (reference: metric_logger.py:165-177)."""
+        if not self.write:
+            return
         path = os.path.join(self.metrics_dir, f"metrics_iter_{iteration}.pkl")
         with open(path, "wb") as f:
             pickle.dump(
@@ -158,6 +169,8 @@ class MetricsLogger:
 
     def export_to_csv(self, iteration):
         """(reference: metric_logger.py:179-205)"""
+        if not self.write:
+            return
         import pandas as pd
 
         n = len(self.metrics["iteration"])
@@ -191,6 +204,8 @@ class MetricsLogger:
     def plot_training_curves(self, save_path=None):
         """4-panel PNG: PSNR-vs-time, log loss, bitwidth evolution,
         per-component bitwidths (reference: metric_logger.py:207-260)."""
+        if not self.write:
+            return
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -245,6 +260,8 @@ class MetricsLogger:
     def plot_quantization_analysis(self, save_path=None):
         """4-panel PNG: bit histogram, PSNR-vs-bits, model size, embed-vs-MLP
         (reference: metric_logger.py:262-313)."""
+        if not self.write:
+            return
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -327,7 +344,10 @@ class MetricsLogger:
             summary["A-CAQ"].append(f"{sizes[-1]:.2f}")
 
         df = pd.DataFrame(summary)
-        df.to_csv(os.path.join(self.metrics_dir, "summary_table.csv"), index=False)
-        with open(os.path.join(self.metrics_dir, "summary_table.tex"), "w") as f:
-            f.write(df.to_latex(index=False))
+        if self.write:
+            df.to_csv(os.path.join(self.metrics_dir, "summary_table.csv"),
+                      index=False)
+            with open(os.path.join(self.metrics_dir, "summary_table.tex"),
+                      "w") as f:
+                f.write(df.to_latex(index=False))
         return df

@@ -382,3 +382,18 @@ def test_blockhash_acaq_quantization():
     )
     feats_e0, _, _ = encode_position(x, params, fc, qs_uncal, False, None)
     np.testing.assert_allclose(np.asarray(feats_e0), np.asarray(feats_fp))
+
+
+def test_stride_knots_single_sample():
+    """S == 1 degenerate case: one knot, identity weight row (regression:
+    j = min(0, K-2) = -1 used to wrap and zero the interpolation row)."""
+    from indoor_nerf_tpu.ops.blockhash import _stride_knots
+
+    for k in (1, 2, 4):
+        ks, W = _stride_knots(1, k)
+        np.testing.assert_array_equal(ks, np.array([0], np.int32))
+        np.testing.assert_array_equal(W, np.ones((1, 1), np.float32))
+    # And the general invariant: rows always sum to 1 (partition of unity).
+    for S, k in ((2, 4), (5, 2), (32, 4), (7, 3)):
+        _, W = _stride_knots(S, k)
+        np.testing.assert_allclose(W.sum(axis=1), np.ones(S), rtol=1e-6)

@@ -61,7 +61,13 @@ def test_two_process_multihost_training(tmp_path):
         "--coordinator_address", f"127.0.0.1:{port}",
         "--num_processes", "2",
     ]
-    env = dict(os.environ, PYTHONPATH=REPO)
+    # Append, never overwrite, PYTHONPATH: overwriting drops the ambient
+    # /root/.axon_site entry and kills the TPU backend registration
+    # (CLAUDE.md). The child force-sets CPU via jax.config regardless.
+    env = dict(
+        os.environ,
+        PYTHONPATH=REPO + os.pathsep + os.environ.get("PYTHONPATH", ""),
+    )
     procs = [
         subprocess.Popen(
             argv_common + ["--process_id", str(i)],
@@ -98,4 +104,6 @@ def test_two_process_multihost_training(tmp_path):
     ckpts = glob.glob(os.path.join(logdirs[0], "*.ckpt"))
     assert ckpts, os.listdir(logdirs[0])
     assert "Saved checkpoints at" in outs[0]
+    # The single-writer rule: process 1 must not have written anything.
+    assert "Saved checkpoints at" not in outs[1]
     assert "Saved checkpoints at" not in outs[1]
