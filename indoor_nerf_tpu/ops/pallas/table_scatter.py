@@ -1,0 +1,171 @@
+"""Pallas TPU kernel: table scatter-add with VMEM-resident accumulation.
+
+The block-hash encode backward scatters M = N_points * n_levels cotangent
+rows (one 128-lane row per (point, level)) into the ``[L*R, W]`` gradient
+table. XLA's scatter-add is TRANSACTION-bound at ~59M rows/s into an HBM
+table regardless of row bytes (tpu_probe_bwd.json; dtype- and
+split-invariant) — every row pays ~3 HBM round trips. At flagship shapes
+(4.19M rows) that is ~71 ms, the single largest slice of the 149 ms train
+step.
+
+This kernel moves the accumulation into VMEM: one level's table block
+``[R, W]`` f32 (4 MB at R=8192, W=128) stays resident across a chunked
+sweep of that level's cotangent rows, so HBM traffic collapses to ONE
+streaming read of the rows plus one table write — the per-row
+read-modify-write happens at VPU/VMEM speed. Grid = (level, chunk); the
+output block index depends only on `level`, so Pallas keeps it in VMEM
+across the chunk steps (multiple-revisit accumulation) and writes it back
+once per level.
+
+Two in-kernel accumulation strategies (selected by `aligned`):
+- row RMW: ``acc[pl.ds(r, 1), :] += row`` — one dynamic-sublane update.
+- aligned vreg RMW: update the aligned 8-row group containing r with a
+  sublane-masked row — the store is 8-sublane aligned, which Mosaic
+  prefers (CLAUDE.md: dynamic sublane ops are the fragile direction).
+
+Role in the reference: this is the TPU answer to `nn.Embedding` autograd
+(PocketNeRF/hash_encoding.py:30-34), whose CUDA backward is a hardware
+atomic-add scatter.
+
+Falls back to the XLA scatter off-TPU; `interpret=True` runs the kernel
+in interpreter mode for CPU correctness tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
+
+_CHUNK = 2048  # cotangent rows per grid step
+
+
+def _scatter_kernel_rowrmw(idx_ref, cot_ref, acc_ref):
+    """Serial row read-modify-write at dynamic sublane offsets."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    chunk = cot_ref.shape[0]
+
+    def body(i, carry):
+        r = idx_ref[0, i]
+        row = cot_ref[pl.ds(i, 1), 0, :].astype(jnp.float32)
+        acc_ref[0, pl.ds(r, 1), :] += row
+        return carry
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def _scatter_kernel_aligned(idx_ref, cot_ref, acc_ref):
+    """Aligned-vreg accumulation: each update touches the 8-row group
+    containing the target row, with the cotangent masked into the right
+    sublane — stores stay 8-sublane aligned."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    chunk = cot_ref.shape[0]
+    W = cot_ref.shape[2]
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
+
+    def body(i, carry):
+        r = idx_ref[0, i]
+        base = (r // 8) * 8
+        sub = r - base
+        row = cot_ref[pl.ds(i, 1), 0, :].astype(jnp.float32)  # [1, W]
+        upd = jnp.where(sub_iota == sub, row, 0.0)  # [8, W]
+        acc_ref[0, pl.ds(base, 8), :] += upd
+        return carry
+
+    jax.lax.fori_loop(0, chunk, body, 0)
+
+
+def supports(n_levels: int, rows_per_level: int, width: int,
+             m_rows: int) -> bool:
+    """Shapes the kernel handles: per-level accumulator must fit VMEM and
+    the row count must factor as points x levels."""
+    acc_bytes = rows_per_level * width * 4
+    return (
+        acc_bytes <= 8 * 1024 * 1024
+        and width in (128, 256)
+        and rows_per_level % 8 == 0
+        and m_rows % n_levels == 0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_levels", "rows_per_level", "aligned", "chunk",
+                     "interpret"),
+)
+def scatter_add_table(
+    cot: jnp.ndarray,
+    flat_row: jnp.ndarray,
+    n_levels: int,
+    rows_per_level: int,
+    aligned: bool = True,
+    chunk: int = _CHUNK,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """``zeros([L*R, W]).at[flat_row].add(cot)`` with VMEM accumulation.
+
+    cot: ``[M, W]`` cotangent rows (f32/bf16), M = N * n_levels ordered
+        level-minor (m = point * L + level — the _tile_coords layout).
+    flat_row: ``[M]`` int32 global row ids; entry m must target level
+        ``m % L``'s block, i.e. ``flat_row[m] // R == m % L`` (true by
+        construction in blockhash._tile_coords, where the level id is
+        baked into the row). Rows are accumulated per level.
+    Returns ``[L*R, W]`` float32.
+    """
+    M, W = cot.shape
+    L, R = n_levels, rows_per_level
+    N = M // L
+    assert N * L == M, (M, L)
+
+    # Level-minor [N, L] views; free reshapes (same layout).
+    cot3 = cot.reshape(N, L, W)
+    idx2 = flat_row.reshape(N, L)
+    # Level-local rows, transposed to [L, N] so each (level, chunk) grid
+    # step reads a contiguous SMEM block (int32 transpose: ~17 MB, cheap).
+    local = (idx2 - jnp.arange(L, dtype=flat_row.dtype)[None, :] * R).T
+
+    n_pad = pl.cdiv(N, chunk) * chunk
+    if n_pad != N:
+        # Pad with row 0 / zero cotangent (adds 0.0 to row 0: harmless).
+        cot3 = jnp.pad(cot3, ((0, n_pad - N), (0, 0), (0, 0)))
+        local = jnp.pad(local, ((0, 0), (0, n_pad - N)))
+
+    kernel = _scatter_kernel_aligned if aligned else _scatter_kernel_rowrmw
+    out = pl.pallas_call(
+        kernel,
+        grid=(L, n_pad // chunk),
+        in_specs=[
+            pl.BlockSpec((1, chunk), lambda l, c: (l, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, 1, W), lambda l, c: (c, l, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, W), lambda l, c: (l, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, W), jnp.float32),
+        interpret=interpret,
+    )(local, cot3)
+    return out.reshape(L * R, W)
+
+
+def scatter_add_table_xla(cot, flat_row, n_levels, rows_per_level):
+    """The XLA scatter this kernel replaces (for diffing / fallback)."""
+    shape = (n_levels * rows_per_level, cot.shape[1])
+    return (
+        jnp.zeros(shape, cot.dtype).at[flat_row].add(cot).astype(jnp.float32)
+    )

@@ -61,6 +61,11 @@ class TrainConfig:
     acaq_start_iter: int = 1000
     acaq_interval: int = 10
     priors: PriorConfig = PriorConfig()
+    # (H, W, focal) for the NDC projection of training ray batches; required
+    # when render.ndc (LLFF forward-facing). The reference applies NDC inside
+    # render() for BOTH training batches and eval images (run_nerf.py:129-131);
+    # eval goes through renderer._prepare_rays, training through train_step.
+    ndc_hwf: Optional[Tuple[int, int, float]] = None
 
 
 def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
@@ -137,7 +142,19 @@ def train_step(
 
     viewdirs = None
     if fc.use_viewdirs:
+        # Viewdirs come from the PRE-NDC world rays (reference order:
+        # run_nerf.py:119-131 normalizes dirs before the NDC transform).
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    if rc.ndc:
+        if config.ndc_hwf is None:
+            raise ValueError(
+                "render.ndc=True needs TrainConfig.ndc_hwf=(H, W, focal) "
+                "to project training ray batches into NDC"
+            )
+        Hn, Wn, focal_n = config.ndc_hwf
+        from indoor_nerf_tpu.ops.rays import ndc_rays
+
+        rays_o, rays_d = ndc_rays(Hn, Wn, focal_n, 1.0, rays_o, rays_d)
     near = config.near * jnp.ones_like(rays_d[..., :1])
     far = config.far * jnp.ones_like(rays_d[..., :1])
 

@@ -172,6 +172,10 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         render=render,
         near=scene.near,
         far=scene.far,
+        ndc_hwf=(
+            (int(scene.hwf[0]), int(scene.hwf[1]), float(scene.hwf[2]))
+            if render.ndc else None
+        ),
         n_rand=args.N_rand,
         lrate=args.lrate,
         lrate_decay=args.lrate_decay,

@@ -222,3 +222,53 @@ def test_synthetic_variant_room_via_loader():
     assert sc.near == 0.1
     # Indoor scene: every ray hits geometry, nothing is pure white bg.
     assert sc.images.max() < 1.0
+
+
+def test_load_deepvoxels(tmp_path):
+    """Fixture-driven deepvoxels parse: intrinsics scaling to the 512 target,
+    pose-dir stacking with the y/z flip, and train/val/test split assembly
+    (reference: load_deepvoxels.py:6-108)."""
+    import imageio.v2 as imageio
+
+    from indoor_nerf_tpu.data.deepvoxels import load_dv_data
+
+    rng = np.random.default_rng(0)
+    counts = {"train": 3, "validation": 2, "test": 2}
+    for split, n in counts.items():
+        base = tmp_path / split / "cube"
+        os.makedirs(base / "pose")
+        os.makedirs(base / "rgb")
+        if split == "train":
+            with open(base / "intrinsics.txt", "w") as f:
+                f.write("350.0 256.0 256.0\n")   # f cx cy
+                f.write("0.0 0.0 0.0\n")          # grid barycenter
+                f.write("0.8\n")                  # near plane
+                f.write("1.0\n")                  # scale
+                f.write("512. 512.\n")            # height width
+                f.write("0\n")                    # world2cam flag
+        for i in range(n):
+            pose = np.eye(4)
+            pose[:3, 3] = [0.1 * i, 0, 2.0]
+            with open(base / "pose" / f"{i:03d}.txt", "w") as f:
+                f.write(" ".join(str(v) for v in pose.reshape(-1)))
+            img = rng.integers(0, 255, size=(512, 512, 3), dtype=np.uint8)
+            imageio.imwrite(base / "rgb" / f"{i:03d}.png", img)
+
+    imgs, poses, render_poses, hwf, i_split = load_dv_data(
+        scene="cube", basedir=str(tmp_path), testskip=1
+    )
+    assert imgs.shape == (7, 512, 512, 3)
+    assert poses.shape == (7, 3, 4)
+    assert render_poses.shape == (2, 3, 4)
+    H, W, focal = hwf
+    assert (H, W) == (512, 512)
+    # f is already expressed at the 512 target (512/512 * 350).
+    assert abs(focal - 350.0) < 1e-6
+    # Split layout: [train, val, test] contiguous.
+    np.testing.assert_array_equal(i_split[0], np.arange(0, 3))
+    np.testing.assert_array_equal(i_split[1], np.arange(3, 5))
+    np.testing.assert_array_equal(i_split[2], np.arange(5, 7))
+    # The y/z axis flip: identity file pose -> diag(1,-1,-1) rotation.
+    np.testing.assert_allclose(
+        poses[0, :3, :3], np.diag([1.0, -1.0, -1.0]), atol=1e-6
+    )
