@@ -17,6 +17,12 @@ output block index depends only on `level`, so Pallas keeps it in VMEM
 across the chunk steps (multiple-revisit accumulation) and writes it back
 once per level.
 
+Data layout: inputs arrive level-major (``[L, N, W]`` rows, ``[L, n/128,
+128]`` indices) so every block slices contiguous memory and satisfies the
+Mosaic block-shape rule (last two dims (8,128)-divisible or full). The
+caller's transpose from the encode's (point, level) order fuses into the
+cotangent formation.
+
 Two in-kernel accumulation strategies (selected by `aligned`):
 - row RMW: ``acc[pl.ds(r, 1), :] += row`` — one dynamic-sublane update.
 - aligned vreg RMW: update the aligned 8-row group containing r with a
@@ -42,52 +48,66 @@ from jax.experimental.pallas import tpu as pltpu
 
 from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
 
-_CHUNK = 2048  # cotangent rows per grid step
+_CHUNK = 2048  # cotangent rows per grid step (multiple of 128)
 
 
 def _scatter_kernel_rowrmw(idx_ref, cot_ref, acc_ref):
-    """Serial row read-modify-write at dynamic sublane offsets."""
+    """Serial row read-modify-write at dynamic (unaligned) sublane offsets.
+    Mosaic requires 8-aligned vector loads on the sublane dim, so cotangent
+    rows are fetched in aligned groups of 8 and peeled statically; the acc
+    store itself is a 1-row dynamic store (may not lower on all Mosaic
+    versions — the `aligned` variant is the production path)."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    chunk = cot_ref.shape[0]
+    chunk = cot_ref.shape[1]
 
-    def body(i, carry):
-        r = idx_ref[0, i]
-        row = cot_ref[pl.ds(i, 1), 0, :].astype(jnp.float32)
-        acc_ref[0, pl.ds(r, 1), :] += row
+    def body(j, carry):
+        j8 = pl.multiple_of(j * 8, 8)
+        rows8 = cot_ref[0, pl.ds(j8, 8), :].astype(acc_ref.dtype)  # [8, W]
+        for k in range(8):
+            i = j * 8 + k
+            r = idx_ref[0, i // 128, i % 128]
+            acc_ref[0, pl.ds(r, 1), :] += rows8[k : k + 1, :]
         return carry
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // 8, body, 0)
 
 
 def _scatter_kernel_aligned(idx_ref, cot_ref, acc_ref):
-    """Aligned-vreg accumulation: each update touches the 8-row group
-    containing the target row, with the cotangent masked into the right
-    sublane — stores stay 8-sublane aligned."""
+    """Aligned-vreg accumulation: each update touches the aligned 8-row
+    group containing the target row, with the cotangent masked into the
+    right sublane — every VMEM access stays 8-sublane aligned (CLAUDE.md:
+    dynamic sublane ops are the fragile Mosaic direction)."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _init():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    chunk = cot_ref.shape[0]
+    chunk = cot_ref.shape[1]
     W = cot_ref.shape[2]
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (8, W), 0)
 
-    def body(i, carry):
-        r = idx_ref[0, i]
-        base = (r // 8) * 8
-        sub = r - base
-        row = cot_ref[pl.ds(i, 1), 0, :].astype(jnp.float32)  # [1, W]
-        upd = jnp.where(sub_iota == sub, row, 0.0)  # [8, W]
-        acc_ref[0, pl.ds(base, 8), :] += upd
+    def body(j, carry):
+        j8 = pl.multiple_of(j * 8, 8)
+        rows8 = cot_ref[0, pl.ds(j8, 8), :].astype(acc_ref.dtype)
+        for k in range(8):
+            i = j * 8 + k
+            r = idx_ref[0, i // 128, i % 128]
+            base = pl.multiple_of((r // 8) * 8, 8)
+            sub = r - base
+            upd = jnp.where(
+                sub_iota == sub, rows8[k : k + 1, :],
+                jnp.zeros((), acc_ref.dtype),
+            )
+            acc_ref[0, pl.ds(base, 8), :] += upd
         return carry
 
-    jax.lax.fori_loop(0, chunk, body, 0)
+    jax.lax.fori_loop(0, chunk // 8, body, 0)
 
 
 def supports(n_levels: int, rows_per_level: int, width: int,
@@ -106,16 +126,17 @@ def supports(n_levels: int, rows_per_level: int, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "rows_per_level", "aligned", "chunk",
-                     "interpret"),
+                     "interpret", "acc_dtype"),
 )
 def scatter_add_table(
     cot: jnp.ndarray,
     flat_row: jnp.ndarray,
     n_levels: int,
     rows_per_level: int,
-    aligned: bool = True,
+    aligned: bool = False,
     chunk: int = _CHUNK,
     interpret: bool = False,
+    acc_dtype: str = "float32",
 ) -> jnp.ndarray:
     """``zeros([L*R, W]).at[flat_row].add(cot)`` with VMEM accumulation.
 
@@ -131,36 +152,39 @@ def scatter_add_table(
     L, R = n_levels, rows_per_level
     N = M // L
     assert N * L == M, (M, L)
-
-    # Level-minor [N, L] views; free reshapes (same layout).
-    cot3 = cot.reshape(N, L, W)
-    idx2 = flat_row.reshape(N, L)
-    # Level-local rows, transposed to [L, N] so each (level, chunk) grid
-    # step reads a contiguous SMEM block (int32 transpose: ~17 MB, cheap).
-    local = (idx2 - jnp.arange(L, dtype=flat_row.dtype)[None, :] * R).T
+    assert chunk % 128 == 0, chunk
 
     n_pad = pl.cdiv(N, chunk) * chunk
+    # Level-major layouts (the transposes fuse into the caller's cotangent
+    # formation / are tiny for the int32 indices). Padding targets row 0
+    # with a zero cotangent: harmless.
+    cotT = jnp.moveaxis(cot.reshape(N, L, W), 1, 0)  # [L, N, W]
+    local = (
+        flat_row.reshape(N, L) - jnp.arange(L, dtype=flat_row.dtype)[None] * R
+    ).T  # [L, N]
     if n_pad != N:
-        # Pad with row 0 / zero cotangent (adds 0.0 to row 0: harmless).
-        cot3 = jnp.pad(cot3, ((0, n_pad - N), (0, 0), (0, 0)))
+        cotT = jnp.pad(cotT, ((0, 0), (0, n_pad - N), (0, 0)))
         local = jnp.pad(local, ((0, 0), (0, n_pad - N)))
+    idx3 = local.reshape(L, n_pad // 128, 128)
 
     kernel = _scatter_kernel_aligned if aligned else _scatter_kernel_rowrmw
+    adt = jnp.bfloat16 if acc_dtype == "bfloat16" else jnp.float32
     out = pl.pallas_call(
         kernel,
         grid=(L, n_pad // chunk),
         in_specs=[
-            pl.BlockSpec((1, chunk), lambda l, c: (l, c),
+            pl.BlockSpec((1, chunk // 128, 128),
+                         lambda l, c: (l, c, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((chunk, 1, W), lambda l, c: (c, l, 0),
+            pl.BlockSpec((1, chunk, W), lambda l, c: (l, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, R, W), lambda l, c: (l, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((L, R, W), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((L, R, W), adt),
         interpret=interpret,
-    )(local, cot3)
-    return out.reshape(L * R, W)
+    )(idx3, cotT)
+    return out.reshape(L * R, W).astype(jnp.float32)
 
 
 def scatter_add_table_xla(cot, flat_row, n_levels, rows_per_level):

@@ -631,8 +631,15 @@ def make_baked_image_renderer(
     n_coarse: int = 128,
     margin_frac: float = 0.04,
     acc_thresh: float = 0.5,
+    pose_block: int = 4,
 ):
     """A jitted full-image renderer over a baked snapshot.
+
+    ``pose_block`` is advertised on the returned function; render_path
+    passes that many poses per call (as ``[B, 3, 4]``), amortizing the
+    fixed ~0.17 s/dispatch axon-tunnel latency across B frames
+    (BENCH_NOTES.md render decomposition; VERDICT round-1 item 6). A
+    plain ``[3, 4]`` pose still renders a single frame.
 
     Mirrors make_image_renderer's tiling (render/renderer.py).
 
@@ -654,9 +661,13 @@ def make_baked_image_renderer(
     from indoor_nerf_tpu.ops.rays import get_rays
 
     @jax.jit
-    def render_image(arrays, c2w, K, near, far):
+    def render_image(arrays, c2ws, K, near, far):
+        # c2ws: [B, 3, 4] pose BLOCK — all B frames render in this one
+        # dispatch, amortizing the fixed per-dispatch latency (~0.17 s
+        # through the axon tunnel; BENCH_NOTES.md render decomposition).
+        B = c2ws.shape[0]
         baked_dev = {**arrays, "config": baked["config"]}
-        rays_o, rays_d = get_rays(H, W, K, c2w)
+        rays_o, rays_d = jax.vmap(lambda p: get_rays(H, W, K, p))(c2ws)
         rays_o = rays_o.reshape(-1, 3)
         rays_d = rays_d.reshape(-1, 3)
         viewdirs = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
@@ -701,46 +712,58 @@ def make_baked_image_renderer(
             off = (g - 1) / (2.0 * g)
             scale = jnp.asarray([[1.0 / g], [1.0 / g], [1.0]], jnp.float32)
             Kc = (K * scale).at[0, 2].add(-off).at[1, 2].add(-off)
-            ro_c, rd_c = get_rays(Hc, Wc, Kc, c2w)
+            ro_c, rd_c = jax.vmap(lambda p: get_rays(Hc, Wc, Kc, p))(c2ws)
             ro_c = ro_c.reshape(-1, 3)
             rd_c = rd_c.reshape(-1, 3)
             vd_c = rd_c / jnp.linalg.norm(rd_c, axis=-1, keepdims=True)
             coarse = tiled(ro_c, rd_c, vd_c, n_coarse)
 
-            acc_c = coarse["acc_map"].reshape(Hc, Wc)
+            acc_c = coarse["acc_map"].reshape(B, Hc, Wc)
             hit = acc_c > acc_thresh
             big = jnp.float32(3e38)
-            dmin = jnp.where(hit, coarse["t_lo"].reshape(Hc, Wc), big)
-            dmax = jnp.where(hit, coarse["t_hi"].reshape(Hc, Wc), -big)
-            # 3x3 neighborhood min/max (SAME padding keeps edges valid).
+            dmin = jnp.where(hit, coarse["t_lo"].reshape(B, Hc, Wc), big)
+            dmax = jnp.where(hit, coarse["t_hi"].reshape(B, Hc, Wc), -big)
+            # Per-frame 3x3 neighborhood min/max (SAME keeps edges valid).
             dmin = -jax.lax.reduce_window(
-                -dmin, -big, jax.lax.max, (3, 3), (1, 1), "SAME")
+                -dmin, -big, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
             dmax = jax.lax.reduce_window(
-                dmax, -big, jax.lax.max, (3, 3), (1, 1), "SAME")
+                dmax, -big, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME")
             m = margin_frac * (far - near)
             no_hit = dmax < -1e37  # whole neighborhood below acc_thresh
             dmin = jnp.where(no_hit, near, dmin - m)
             dmax = jnp.where(no_hit, far, dmax + m)
-            # Nearest-neighbor upsample to full resolution.
-            dmin = jnp.repeat(jnp.repeat(dmin, g, 0), g, 1)[:H, :W].reshape(-1)
-            dmax = jnp.repeat(jnp.repeat(dmax, g, 0), g, 1)[:H, :W].reshape(-1)
+            # Nearest-neighbor upsample to full resolution, per frame.
+            dmin = jnp.repeat(jnp.repeat(dmin, g, 1), g, 2)
+            dmax = jnp.repeat(jnp.repeat(dmax, g, 1), g, 2)
+            dmin = dmin[:, :H, :W].reshape(-1)
+            dmax = dmax[:, :H, :W].reshape(-1)
             flat = tiled(rays_o, rays_d, viewdirs, n_samples, (dmin, dmax))
         else:
             flat = tiled(rays_o, rays_d, viewdirs, n_samples)
         return {
-            "rgb_map": flat["rgb_map"].reshape(H, W, 3),
-            "depth_map": flat["depth_map"].reshape(H, W),
-            "acc_map": flat["acc_map"].reshape(H, W),
-            "disp_map": flat["disp_map"].reshape(H, W),
+            "rgb_map": flat["rgb_map"].reshape(B, H, W, 3),
+            "depth_map": flat["depth_map"].reshape(B, H, W),
+            "acc_map": flat["acc_map"].reshape(B, H, W),
+            "disp_map": flat["disp_map"].reshape(B, H, W),
         }
 
     arrays = {k: v for k, v in baked.items() if k != "config"}
 
     def render_fn(c2w, K, near, far):
-        return render_image(
+        """c2w ``[3, 4]`` renders one frame; ``[B, 3, 4]`` renders a pose
+        BLOCK in one device dispatch (render_path passes blocks when
+        ``render_fn.pose_block`` > 1)."""
+        c2w = jnp.asarray(c2w, jnp.float32)
+        single = c2w.ndim == 2
+        out = render_image(
             arrays,
-            jnp.asarray(c2w, jnp.float32), jnp.asarray(K, jnp.float32),
+            c2w[None] if single else c2w,
+            jnp.asarray(K, jnp.float32),
             jnp.asarray(near, jnp.float32), jnp.asarray(far, jnp.float32),
         )
+        if single:
+            out = {k: v[0] for k, v in out.items()}
+        return out
 
+    render_fn.pose_block = int(pose_block)
     return render_fn

@@ -41,6 +41,7 @@ def render_path(
     save_figures: bool = True,
     mesh=None,
     image_renderer=None,
+    pose_block: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray, List[float]]:
     """Render every pose; returns (rgbs, depths_normalized, psnrs).
 
@@ -50,6 +51,13 @@ def render_path(
     replicated on every device — N× the work and transient memory for one
     image (measured: a 64×64 occupancy render that takes ~1 min sharded ran
     >9 min replicated on an 8-device host mesh).
+
+    ``pose_block`` > 1 renders that many poses PER DEVICE DISPATCH on the
+    single-device path (renderer.make_pose_block_renderer), amortizing the
+    fixed per-dispatch latency (~0.17 s through the axon tunnel,
+    BENCH_NOTES.md) that otherwise dominates small/medium frames. The
+    reference renders pose-at-a-time (run_nerf.py:154-215). Baked image
+    renderers advertising ``pose_block`` support are used the same way.
     """
     H, W, focal = hwf
     if render_factor != 0:
@@ -60,12 +68,22 @@ def render_path(
             [[focal, 0, 0.5 * W], [0, focal, 0.5 * H], [0, 0, 1]], np.float64
         )
 
+    n_poses = len(render_poses)
+    block = max(1, min(pose_block, n_poses))
+
     if image_renderer is not None:
         # Pre-built whole-image renderer, e.g. the baked deferred-shading
         # one (render/baked.py) for ~30x faster videos/testsets; must have
-        # been built for THIS (possibly render_factor-scaled) H, W.
-        def renderer(params, c2w, K, near, far, quant_state, occ_state):
-            return image_renderer(c2w, K, near, far)
+        # been built for THIS (possibly render_factor-scaled) H, W. If it
+        # advertises pose-block support it gets [B,3,4] blocks directly.
+        ib = getattr(image_renderer, "pose_block", 1)
+        block = max(1, min(ib, n_poses))
+
+        def render_block(params, c2ws, K, near, far, quant_state, occ_state):
+            if ib > 1:
+                return image_renderer(c2ws, K, near, far)
+            out = image_renderer(c2ws[0], K, near, far)
+            return {k: v[None] for k, v in out.items()}
 
     elif mesh is not None and mesh.devices.size > 1:
         from indoor_nerf_tpu.parallel.sp import make_sharded_image_renderer
@@ -73,24 +91,50 @@ def render_path(
         n_dev = mesh.devices.size
         per_dev = -(-int(H) * int(W) // n_dev)  # ceil
         tile = min(tile_rays, -(-per_dev // 128) * 128)
-        renderer = make_sharded_image_renderer(
+        single = make_sharded_image_renderer(
             config, int(H), int(W), mesh,
             data_axis=mesh.axis_names[0], tile_rays=tile,
         )
+        block = 1
+
+        def render_block(params, c2ws, K, near, far, quant_state, occ_state):
+            out = single(params, c2ws[0], K, near, far, quant_state, occ_state)
+            return {k: v[None] for k, v in out.items()}
+
     else:
-        renderer = make_image_renderer(config, int(H), int(W), tile_rays)
+        from indoor_nerf_tpu.render.renderer import make_pose_block_renderer
+
+        if block > 1:
+            render_block = make_pose_block_renderer(
+                config, int(H), int(W), block, tile_rays
+            )
+        else:
+            single = make_image_renderer(config, int(H), int(W), tile_rays)
+
+            def render_block(params, c2ws, K, near, far, quant_state,
+                             occ_state):
+                out = single(params, c2ws[0], K, near, far, quant_state,
+                             occ_state)
+                return {k: v[None] for k, v in out.items()}
 
     rgbs, depths, psnrs = [], [], []
     t = time.time()
-    for i, c2w in enumerate(render_poses):
-        print(i, time.time() - t)
-        t = time.time()
-        out = renderer(params, np.asarray(c2w[:3, :4]), K, near, far,
-                       quant_state, occ_state)
-        rgb = np.asarray(out["rgb_map"])
-        depth = (np.asarray(out["depth_map"]) - near) / (far - near)
-        rgbs.append(rgb)
-        depths.append(depth)
+    for start in range(0, n_poses, block):
+        idxs = list(range(start, min(start + block, n_poses)))
+        c2ws = np.stack(
+            [np.asarray(render_poses[j][:3, :4]) for j in idxs]
+            + [np.asarray(render_poses[idxs[-1]][:3, :4])]
+            * (block - len(idxs)),  # pad the final partial block
+            0,
+        )
+        out = render_block(params, c2ws, K, near, far, quant_state, occ_state)
+        for bi, i in enumerate(idxs):
+            print(i, time.time() - t)
+            t = time.time()
+            rgb = np.asarray(out["rgb_map"][bi])
+            depth = (np.asarray(out["depth_map"][bi]) - near) / (far - near)
+            rgbs.append(rgb)
+            depths.append(depth)
 
         if gt_imgs is not None and render_factor == 0:
             gt = np.asarray(gt_imgs[i])

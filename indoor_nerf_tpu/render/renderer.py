@@ -284,6 +284,99 @@ def _render_image_jit(
     }
 
 
+@functools.partial(
+    jax.jit, static_argnames=("config", "H", "W", "tile_rays")
+)
+def _render_pose_block_jit(
+    params: Dict[str, Any],
+    c2ws: jnp.ndarray,  # [B, 3, 4]
+    K: jnp.ndarray,
+    near: jnp.ndarray,
+    far: jnp.ndarray,
+    config: RenderConfig,
+    H: int,
+    W: int,
+    tile_rays: int,
+    quant_state: Optional[Dict[str, Any]] = None,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Render a BLOCK of poses in one device dispatch.
+
+    Identical per-ray math to _render_image_jit, but the ray pool spans B
+    poses so videos/testsets pay the host->device dispatch latency once per
+    block instead of once per frame (measured ~0.17 s FIXED per dispatch
+    through the axon tunnel — the dominant cost of small-frame renders;
+    BENCH_NOTES.md render decomposition). The reference renders
+    pose-at-a-time (run_nerf.py:154-215)."""
+    B = c2ws.shape[0]
+    rays_o, rays_d = jax.vmap(lambda p: get_rays(H, W, K, p))(c2ws)
+    focal = K[0][0]
+    rays_o, rays_d, viewdirs, near_a, far_a = _prepare_rays(
+        rays_o, rays_d, H, W, focal, near, far, config
+    )
+
+    n = B * H * W
+    n_pad = ((n + tile_rays - 1) // tile_rays) * tile_rays
+    pad = n_pad - n
+
+    def padded(x):
+        return jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, tile_rays, x.shape[-1])
+
+    tiles = (
+        padded(rays_o),
+        padded(rays_d),
+        padded(viewdirs) if viewdirs is not None else None,
+        padded(near_a),
+        padded(far_a),
+    )
+
+    def tile_fn(args):
+        ro, rd, vd, nr, fr = args
+        out, _ = render_rays(
+            None, params, ro, rd, vd, nr, fr,
+            config.test_mode(), quant_state=quant_state, train=False,
+            step=None, occ_state=occ_state,
+        )
+        return {
+            "rgb_map": out["rgb_map"],
+            "depth_map": out["depth_map"],
+            "acc_map": out["acc_map"],
+            "disp_map": out["disp_map"],
+        }
+
+    out = jax.lax.map(tile_fn, tiles)
+    flat = {k: v.reshape(n_pad, *v.shape[2:])[:n] for k, v in out.items()}
+    return {
+        "rgb_map": flat["rgb_map"].reshape(B, H, W, 3),
+        "depth_map": flat["depth_map"].reshape(B, H, W),
+        "acc_map": flat["acc_map"].reshape(B, H, W),
+        "disp_map": flat["disp_map"].reshape(B, H, W),
+    }
+
+
+def make_pose_block_renderer(
+    config: RenderConfig, H: int, W: int, pose_block: int,
+    tile_rays: int = 16384,
+):
+    """A jitted B-poses-per-dispatch renderer: (params, c2ws [B,3,4], K,
+    near, far[, quant_state, occ_state]) -> maps dict with leading B axis.
+    Callers pad the final partial block to B (one compilation total)."""
+
+    def render_fn(params, c2ws, K, near, far, quant_state=None,
+                  occ_state=None):
+        assert c2ws.shape[0] == pose_block, (c2ws.shape, pose_block)
+        return _render_pose_block_jit(
+            params,
+            jnp.asarray(c2ws, jnp.float32),
+            jnp.asarray(K, jnp.float32),
+            jnp.asarray(near, jnp.float32),
+            jnp.asarray(far, jnp.float32),
+            config, H, W, tile_rays, quant_state, occ_state,
+        )
+
+    return render_fn
+
+
 def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 16384):
     """A jitted full-image renderer: (params, c2w, K, near, far[, quant_state,
     occ_state]) -> maps dict. Equivalent of render(c2w=...) + batchify_rays

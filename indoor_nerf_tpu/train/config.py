@@ -201,13 +201,38 @@ def build_parser() -> argparse.ArgumentParser:
     add("--debug_nans", action="store_true",
         help="enable jax_debug_nans (the reference's DEBUG NaN scan / "
              "detect_anomaly analogue)")
+    add("--flagship", action="store_true",
+        help="apply the measured-fastest TPU training preset (i_embed 3 "
+             "block-hash, block_size 3, bf16 table IO, occupancy-guided "
+             "sampling — BENCH_NOTES.md flagship row, ~27.6k rays/s/chip "
+             "on v5e). Any config-file/CLI value you set explicitly still "
+             "wins. Parity behavior (exact NGP layout, i_embed 1) stays "
+             "the default without this flag.")
     return parser
+
+
+# The flagship training preset (--flagship / configs/*_tpu.txt): the
+# fastest measured single-chip configuration (BENCH_NOTES.md "block +
+# occupancy + 4^3 tiles + bf16 IO" row). Values are DEFAULTS — config
+# files and CLI flags override them.
+FLAGSHIP_PRESET = {
+    "i_embed": 3,
+    "block_size": 3,
+    "block_io": "bf16",
+    "use_occupancy": True,
+    "N_importance": 0,  # occupancy sampling replaces the hierarchical pass
+    "occ_samples": 48,
+}
 
 
 def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
     """configargparse semantics: config file sets defaults, CLI overrides."""
     parser = build_parser()
     args, _ = parser.parse_known_args(argv)
+    if args.flagship:
+        # Preset layer: weaker than config-file values, which are weaker
+        # than explicit CLI flags (configargparse-style precedence).
+        parser.set_defaults(**FLAGSHIP_PRESET)
     if args.config:
         file_values = _read_config_file(args.config)
         # Map file keys to parser actions; booleans in the file are words.

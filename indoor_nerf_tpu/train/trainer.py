@@ -651,12 +651,19 @@ def train(args) -> Dict:
             if psnrs:
                 avg_test_psnr = sum(psnrs) / len(psnrs)
                 last_test_psnr = avg_test_psnr
-                ssims = [
-                    evaluator.evaluate_image(r, g)["ssim"]
+                evals = [
+                    evaluator.evaluate_image(r, g)
                     for r, g in zip(rgbs, scene.images[scene.i_test])
                 ]
+                lpips_vals = [e["lpips"] for e in evals if "lpips" in e]
                 metrics_logger.log_test_metrics(
-                    i, avg_test_psnr, ssim=float(np.mean(ssims))
+                    i, avg_test_psnr,
+                    ssim=float(np.mean([e["ssim"] for e in evals])),
+                    lpips=(float(np.mean(lpips_vals)) if lpips_vals
+                           else None),
+                    lpips_proxy=float(
+                        np.mean([e["lpips_proxy"] for e in evals])
+                    ),
                 )
                 print(f"Logged test PSNR: {avg_test_psnr:.2f}")
 

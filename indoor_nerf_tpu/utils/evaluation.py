@@ -72,6 +72,46 @@ def ssim(img: np.ndarray, gt: np.ndarray, data_range: float = 1.0) -> float:
     return float(np.mean(vals))
 
 
+def gmsd(img: np.ndarray, gt: np.ndarray) -> float:
+    """Gradient Magnitude Similarity Deviation (Xue et al. 2013) — a
+    pretrained-weights-free perceptual distortion metric; lower is better,
+    0 for identical images. Reported as ``lpips_proxy`` wherever the
+    reference reports LPIPS (evaluation_utils.py:36-43) so the third
+    quality metric stays live in zero-egress environments where the LPIPS
+    AlexNet weights cannot be downloaded (VERDICT.md round-1 item 8).
+
+    Standard formulation: luminance -> 2x2 average downsample -> Prewitt
+    gradient magnitudes -> gradient-magnitude-similarity map -> its
+    standard deviation. c = 170/255^2 rescaled for [0,1] inputs.
+    """
+    def lum(x):
+        x = np.asarray(x, np.float64)
+        if x.ndim == 3:
+            x = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        return x
+
+    def down2(x):
+        h, w = (x.shape[0] // 2) * 2, (x.shape[1] // 2) * 2
+        x = x[:h, :w]
+        return 0.25 * (x[0::2, 0::2] + x[1::2, 0::2]
+                       + x[0::2, 1::2] + x[1::2, 1::2])
+
+    def prewitt_mag(x):
+        xp = np.pad(x, 1, mode="edge")
+        # Prewitt kernels /3: horizontal = column diff averaged over rows.
+        gx = (xp[:-2, 2:] + xp[1:-1, 2:] + xp[2:, 2:]
+              - xp[:-2, :-2] - xp[1:-1, :-2] - xp[2:, :-2]) / 3.0
+        gy = (xp[2:, :-2] + xp[2:, 1:-1] + xp[2:, 2:]
+              - xp[:-2, :-2] - xp[:-2, 1:-1] - xp[:-2, 2:]) / 3.0
+        return np.sqrt(gx * gx + gy * gy)
+
+    a, b = down2(lum(img)), down2(lum(gt))
+    g1, g2 = prewitt_mag(a), prewitt_mag(b)
+    c = 170.0 / (255.0 ** 2)
+    gms = (2.0 * g1 * g2 + c) / (g1 * g1 + g2 * g2 + c)
+    return float(np.std(gms))
+
+
 class LpipsScorer:
     """LPIPS(alex) scorer; silently unavailable without pretrained weights.
 
@@ -132,13 +172,20 @@ class ComprehensiveEvaluator:
         self.lpips = LpipsScorer()
         if not self.lpips.available:
             print("[eval] LPIPS unavailable (no pretrained weights); "
-                  "reporting PSNR/SSIM only")
+                  "reporting GMSD as lpips_proxy alongside PSNR/SSIM")
 
     def memory_stats(self) -> Dict[str, float]:
         return device_memory_stats()
 
     def evaluate_image(self, img: np.ndarray, gt: np.ndarray) -> Dict:
-        out = {"psnr": psnr(img, gt), "ssim": ssim(img, gt)}
+        # lpips_proxy (GMSD, lower-better like LPIPS) is always reported so
+        # the third quality metric never degrades to nothing; real LPIPS is
+        # added when the pretrained backbone is available.
+        out = {
+            "psnr": psnr(img, gt),
+            "ssim": ssim(img, gt),
+            "lpips_proxy": gmsd(img, gt),
+        }
         lp = self.lpips(img, gt)
         if lp is not None:
             out["lpips"] = lp

@@ -42,7 +42,7 @@ class MetricsLogger:
             "learning_rate": [], "avg_bitwidth": [], "bitwidth_distribution": [],
             "component_bitwidths": defaultdict(list), "memory_usage": [],
             "inference_time": [], "test_psnr": [], "test_ssim": [],
-            "test_lpips": [],
+            "test_lpips": [], "test_lpips_proxy": [],
         }
         self.quant_metrics: Dict[str, list] = {
             "embed_bits": [], "mlp_bits": [], "activation_bits": [],
@@ -104,13 +104,20 @@ class MetricsLogger:
                       "bit_operations", "model_size"):
                 self.quant_metrics[k].append(None)
 
-    def log_test_metrics(self, iteration, psnr, ssim=None, lpips=None):
-        """(reference: metric_logger.py:122-128)"""
+    def log_test_metrics(self, iteration, psnr, ssim=None, lpips=None,
+                         lpips_proxy=None):
+        """(reference: metric_logger.py:122-128). ``lpips_proxy`` is the
+        weights-free GMSD perceptual metric (utils/evaluation.py::gmsd),
+        reported whenever real LPIPS weights are unavailable."""
         self.metrics["test_psnr"].append((iteration, float(psnr)))
         if ssim is not None:
             self.metrics["test_ssim"].append((iteration, float(ssim)))
         if lpips is not None:
             self.metrics["test_lpips"].append((iteration, float(lpips)))
+        if lpips_proxy is not None:
+            self.metrics["test_lpips_proxy"].append(
+                (iteration, float(lpips_proxy))
+            )
 
     def log_acaq_update(self, target_metric, loss_ratio, bit_adjustments):
         """(reference: metric_logger.py:130-134)"""

@@ -5,9 +5,17 @@ reference's milestone metrics: time/iterations to {15,20,25,30,35} dB train
 PSNR, steps/sec and rays/sec (BASELINE.md machinery; reference
 run_nerf.py:1305-1327).
 
+BOTH quality curves are emitted (VERDICT round-1 item 10): the train-PSNR
+milestone track (what the reference tracks — an on-distribution fit
+number that saturates into overfitting on small view sets) and a HELD-OUT
+track evaluated every --eval_every steps on a fixed ray subset of the
+test views. Headline numbers quoted from this harness must say which
+curve they come from.
+
 Usage:
   python scripts/bench_convergence.py [--iters 2000] [--i_embed 1|3]
-      [--use_occupancy] [--n_rand 4096] [--out metrics.json]
+      [--use_occupancy] [--n_rand 4096] [--eval_every 100]
+      [--out metrics.json]
 """
 
 from __future__ import annotations
@@ -33,6 +41,10 @@ def main():
                          "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--eval_every", type=int, default=100,
+                    help="held-out PSNR eval cadence (0 disables)")
+    ap.add_argument("--eval_rays", type=int, default=8192,
+                    help="fixed held-out ray subset size")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -96,12 +108,54 @@ def main():
     state = replicate_state(init_train_state(jax.random.PRNGKey(0), cfg), mesh)
     step_fn = make_sharded_train_step(cfg, mesh)
 
+    # Fixed held-out ray subset from the TEST views: an unbiased estimator
+    # of held-out MSE at a fraction of a full-image render's cost.
+    eval_fn = None
+    if args.eval_every > 0 and len(scene["i_split"][2]) > 0:
+        from indoor_nerf_tpu.ops.rays import get_rays_np
+        from indoor_nerf_tpu.render.renderer import render_rays
+
+        ev_rng = np.random.default_rng(0)
+        ros, rds, tgts = [], [], []
+        for vi in scene["i_split"][2]:
+            ro, rd = get_rays_np(H, W, scene["K"],
+                                 np.asarray(scene["poses"][vi][:3, :4]))
+            ros.append(ro.reshape(-1, 3))
+            rds.append(rd.reshape(-1, 3))
+            tgts.append(np.asarray(scene["images"][vi]).reshape(-1, 3))
+        ros, rds, tgts = (np.concatenate(x) for x in (ros, rds, tgts))
+        sel = ev_rng.choice(len(ros), size=min(args.eval_rays, len(ros)),
+                            replace=False)
+        ev_ro = jnp.asarray(ros[sel])
+        ev_rd = jnp.asarray(rds[sel])
+        ev_tgt = jnp.asarray(tgts[sel])
+        ev_vd = ev_rd / jnp.linalg.norm(ev_rd, axis=-1, keepdims=True)
+        ev_near = jnp.full((ev_ro.shape[0], 1), scene["near"], jnp.float32)
+        ev_far = jnp.full((ev_ro.shape[0], 1), scene["far"], jnp.float32)
+        test_rc = rc.test_mode()
+
+        @jax.jit
+        def eval_fn(params, quant_state, occ_state):
+            out, _ = render_rays(
+                None, params, ev_ro, ev_rd,
+                ev_vd if fc.use_viewdirs else None, ev_near, ev_far,
+                test_rc, quant_state=quant_state, train=False, step=None,
+                occ_state=occ_state,
+            )
+            mse = jnp.mean((out["rgb_map"] - ev_tgt) ** 2)
+            return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
+
     key = jax.random.PRNGKey(1)
     batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
     state, metrics = step_fn(state, batch, key)  # compile
     jax.block_until_ready(metrics["loss"])
+    if eval_fn is not None:  # compile the eval outside the timed window
+        float(eval_fn(state["params"], state.get("quant"), state.get("occ")))
 
     milestones = {}
+    heldout_milestones = {}
+    train_curve = []
+    heldout_curve = []
     t0 = time.perf_counter()
     pending = None
     for i in range(1, args.iters + 1):
@@ -111,12 +165,26 @@ def main():
         if pending is not None:
             pi, pm = pending
             psnr = float(pm["psnr"])
+            train_curve.append(
+                (pi, round(time.perf_counter() - t0, 3), round(psnr, 3)))
             for m in (15, 20, 25, 30, 35):
                 if psnr >= m and m not in milestones:
                     milestones[m] = {
                         "iter": pi, "seconds": time.perf_counter() - t0,
                     }
         pending = (i, metrics)
+        if eval_fn is not None and i % args.eval_every == 0:
+            hp = float(
+                eval_fn(state["params"], state.get("quant"),
+                        state.get("occ"))
+            )
+            heldout_curve.append(
+                (i, round(time.perf_counter() - t0, 3), round(hp, 3)))
+            for m in (15, 20, 25, 30, 35):
+                if hp >= m and m not in heldout_milestones:
+                    heldout_milestones[m] = {
+                        "iter": i, "seconds": time.perf_counter() - t0,
+                    }
     jax.block_until_ready(metrics["loss"])
     total = time.perf_counter() - t0
     final_psnr = float(metrics["psnr"])
@@ -128,12 +196,23 @@ def main():
             "n_importance": n_importance, "iters": args.iters,
         },
         "final_train_psnr_db": round(final_psnr, 2),
+        "final_heldout_psnr_db": (
+            round(heldout_curve[-1][2], 2) if heldout_curve else None
+        ),
         "steps_per_sec": round(args.iters / total, 2),
         "rays_per_sec": round(args.iters * args.n_rand / total, 1),
-        "milestones": {
+        # TRAIN-psnr milestones (the reference's metric; saturates into
+        # overfitting on small view sets — label accordingly when quoted).
+        "train_milestones": {
             f"{m}db": {"iter": v["iter"], "seconds": round(v["seconds"], 2)}
             for m, v in milestones.items()
         },
+        "heldout_milestones": {
+            f"{m}db": {"iter": v["iter"], "seconds": round(v["seconds"], 2)}
+            for m, v in heldout_milestones.items()
+        },
+        "train_curve": train_curve,
+        "heldout_curve": heldout_curve,
         "total_seconds": round(total, 2),
     }
     print(json.dumps(result, indent=2))

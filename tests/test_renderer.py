@@ -96,3 +96,64 @@ def test_render_image_shapes_and_tiling():
     # Tiling must not change results: compare against one big tile.
     out2 = render_image(params, H, W, K, c2w, 2.0, 6.0, rc, tile_rays=256)
     np.testing.assert_allclose(out["rgb_map"], out2["rgb_map"], rtol=1e-5, atol=1e-6)
+
+
+def test_pose_block_renderer_matches_per_pose():
+    """B-poses-per-dispatch rendering (make_pose_block_renderer) must be
+    numerically identical to pose-at-a-time rendering — it only changes
+    how rays are batched into dispatches (VERDICT round-1 item 6)."""
+    from indoor_nerf_tpu.render.renderer import make_pose_block_renderer
+
+    _, rc, params = _setup()
+    H, W = 10, 8
+    K = np.array([[18.0, 0, W / 2], [0, 18.0, H / 2], [0, 0, 1]], np.float32)
+    c2ws = []
+    for i in range(3):
+        m = np.eye(4, dtype=np.float32)[:3, :4]
+        m[:, 3] = [0.2 * i, -0.1 * i, 0.05]
+        c2ws.append(m)
+    c2ws = np.stack(c2ws)
+
+    block = make_pose_block_renderer(rc, H, W, pose_block=3, tile_rays=64)
+    out_b = block(params, c2ws, K, 2.0, 6.0)
+    assert out_b["rgb_map"].shape == (3, H, W, 3)
+    for i in range(3):
+        out_1 = render_image(
+            params, H, W, K, c2ws[i], 2.0, 6.0, rc, tile_rays=64
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["rgb_map"][i]), out_1["rgb_map"],
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_b["depth_map"][i]), out_1["depth_map"],
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_render_path_pose_blocking(tmp_path):
+    """render_path with pose_block > 1 (and a block that doesn't divide the
+    pose count) produces the same frames as pose-at-a-time."""
+    from indoor_nerf_tpu.render.path import render_path
+
+    _, rc, params = _setup()
+    H, W = 10, 8
+    K = np.array([[18.0, 0, W / 2], [0, 18.0, H / 2], [0, 0, 1]], np.float64)
+    poses = []
+    for i in range(5):  # 5 poses, block 2 -> padded final block
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0.1 * i, 0.0, 0.02 * i]
+        poses.append(m)
+    poses = np.stack(poses)
+
+    rgbs_b, depths_b, _ = render_path(
+        poses, (H, W, 18.0), K, rc, params, 2.0, 6.0,
+        save_figures=False, tile_rays=64, pose_block=2,
+    )
+    rgbs_1, depths_1, _ = render_path(
+        poses, (H, W, 18.0), K, rc, params, 2.0, 6.0,
+        save_figures=False, tile_rays=64, pose_block=1,
+    )
+    assert rgbs_b.shape == (5, H, W, 3)
+    np.testing.assert_allclose(rgbs_b, rgbs_1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(depths_b, depths_1, rtol=1e-5, atol=1e-5)

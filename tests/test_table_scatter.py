@@ -45,14 +45,14 @@ def test_scatter_matches_xla(rng, aligned, dtype):
 def test_scatter_collisions_accumulate(rng):
     """Many entries hitting the SAME row must all accumulate (the serial
     RMW path's read-after-write hazard)."""
-    L, R, W, N = 2, 16, 128, 256
+    L, R, W, N = 2, 16, 128, 300
     cot = jnp.ones((N * L, W), jnp.float32)
     flat = jnp.asarray(
         (np.zeros((N, L), np.int64) + np.arange(L)[None, :] * R)
         .reshape(-1).astype(np.int32)
     )
     out = scatter_add_table(
-        cot, flat, L, R, aligned=True, chunk=64, interpret=True
+        cot, flat, L, R, aligned=True, chunk=128, interpret=True
     )
     np.testing.assert_allclose(np.asarray(out[0]), np.full(W, N), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(out[R]), np.full(W, N), rtol=1e-6)

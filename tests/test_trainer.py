@@ -64,6 +64,26 @@ def test_reference_config_files_parse():
         assert args.expname, path
 
 
+def test_flagship_presets():
+    """Every scene config has a *_tpu.txt flagship variant carrying the
+    measured-fastest training preset, and --flagship applies the same
+    values with config-file/CLI override precedence (VERDICT.md item 4)."""
+    base = [p for p in sorted(glob.glob("configs/*.txt"))
+            if not p.endswith("_tpu.txt")]
+    for path in base:
+        tpu = path[:-4] + "_tpu.txt"
+        assert os.path.exists(tpu), f"missing flagship preset {tpu}"
+        a = parse_args(["--config", tpu])
+        assert (a.i_embed, a.block_size, a.block_io, a.use_occupancy,
+                a.N_importance) == (3, 3, "bf16", True, 0), tpu
+    b = parse_args(["--flagship"])
+    assert (b.i_embed, b.block_size, b.block_io, b.use_occupancy) == (
+        3, 3, "bf16", True)
+    # Explicit flags beat the preset.
+    c = parse_args(["--flagship", "--i_embed", "1"])
+    assert c.i_embed == 1
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end_with_artifacts(tmp_path):
     from indoor_nerf_tpu.train.trainer import train
