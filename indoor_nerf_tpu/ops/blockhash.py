@@ -56,6 +56,19 @@ from indoor_nerf_tpu.ops.hashing import BOX_OFFSETS
 
 BLOCK = 4  # default voxels per block edge; 5^3 = 125 vertices <= 128 lanes
 USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
+# Route the fused backward's table scatter through the Pallas VMEM-resident
+# accumulation kernel (ops/pallas/table_scatter.py) when the shapes allow.
+# The XLA scatter-add is transaction-bound (~59M rows/s, tpu_probe_bwd.json);
+# the kernel accumulates into a per-level VMEM block instead. Applies to the
+# full-level encode (levels=None) on TPU only; measured numbers in
+# BENCH_NOTES.md.
+USE_PALLAS_SCATTER = True
+# Tuning knobs for the Pallas scatter (swept in BENCH_NOTES.md).
+PALLAS_SCATTER_CHUNK = 2048
+PALLAS_SCATTER_ACC = "float32"
+# Test hook: run the Pallas scatter in interpreter mode off-TPU so the
+# integrated backward path is exercised by the CPU test suite.
+_FORCE_PALLAS_SCATTER_INTERPRET = False
 SIDE = BLOCK + 1
 LANES = 128
 
@@ -396,9 +409,34 @@ def _encode_fused_bwd(config, levels, res, g):
         config.n_levels * config.rows_per_level,
         config.n_features_per_level * config.lanes_per_feature,
     )
-    grad_table = (
-        jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
-    )
+    use_kernel = False
+    if USE_PALLAS_SCATTER and levels is None:
+        from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
+        from indoor_nerf_tpu.ops.pallas.table_scatter import supports
+
+        on_tpu = _on_tpu()
+        use_kernel = (on_tpu or _FORCE_PALLAS_SCATTER_INTERPRET) and supports(
+            config.n_levels, config.rows_per_level, shape[1],
+            flat_row.shape[0],
+        )
+    if use_kernel:
+        from indoor_nerf_tpu.ops.pallas.table_scatter import (
+            scatter_add_table,
+        )
+
+        # f32 VMEM accumulation (a precision upgrade over the bf16
+        # accumulation of the XLA path at scatter_dtype=bfloat16); the
+        # cotangent rows still move in `dt`.
+        grad_table = scatter_add_table(
+            cot, flat_row, config.n_levels, config.rows_per_level,
+            interpret=not on_tpu,
+            chunk=PALLAS_SCATTER_CHUNK,
+            acc_dtype=PALLAS_SCATTER_ACC,
+        )
+    else:
+        grad_table = (
+            jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
+        )
     n_lv = config.n_levels if levels is None else len(levels)
     dx = jnp.zeros((flat_row.shape[0] // n_lv, 3), jnp.float32)
     return grad_table, dx

@@ -110,6 +110,33 @@ def _scatter_kernel_aligned(idx_ref, cot_ref, acc_ref):
     jax.lax.fori_loop(0, chunk // 8, body, 0)
 
 
+def _scatter_kernel_rowrmw2(idx_ref, cot_ref, acc0_ref, acc1_ref):
+    """Dual-bank row RMW: even entries accumulate into acc0, odd into acc1
+    (merged by the caller). Two separate output refs let Mosaic prove
+    store/load independence between consecutive iterations and pipeline
+    the RMWs — a single accumulator serializes on potential aliasing."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc0_ref[...] = jnp.zeros_like(acc0_ref)
+        acc1_ref[...] = jnp.zeros_like(acc1_ref)
+
+    chunk = cot_ref.shape[1]
+
+    def body(j, carry):
+        j8 = pl.multiple_of(j * 8, 8)
+        rows8 = cot_ref[0, pl.ds(j8, 8), :].astype(acc0_ref.dtype)
+        for k in range(8):
+            i = j * 8 + k
+            r = idx_ref[0, i // 128, i % 128]
+            tgt = acc0_ref if k % 2 == 0 else acc1_ref
+            tgt[0, pl.ds(r, 1), :] += rows8[k : k + 1, :]
+        return carry
+
+    jax.lax.fori_loop(0, chunk // 8, body, 0)
+
+
 def supports(n_levels: int, rows_per_level: int, width: int,
              m_rows: int) -> bool:
     """Shapes the kernel handles: per-level accumulator must fit VMEM and
@@ -126,7 +153,7 @@ def supports(n_levels: int, rows_per_level: int, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "rows_per_level", "aligned", "chunk",
-                     "interpret", "acc_dtype"),
+                     "interpret", "acc_dtype", "banks"),
 )
 def scatter_add_table(
     cot: jnp.ndarray,
@@ -137,6 +164,7 @@ def scatter_add_table(
     chunk: int = _CHUNK,
     interpret: bool = False,
     acc_dtype: str = "float32",
+    banks: int = 1,
 ) -> jnp.ndarray:
     """``zeros([L*R, W]).at[flat_row].add(cot)`` with VMEM accumulation.
 
@@ -167,20 +195,33 @@ def scatter_add_table(
         local = jnp.pad(local, ((0, 0), (0, n_pad - N)))
     idx3 = local.reshape(L, n_pad // 128, 128)
 
-    kernel = _scatter_kernel_aligned if aligned else _scatter_kernel_rowrmw
     adt = jnp.bfloat16 if acc_dtype == "bfloat16" else jnp.float32
+    in_specs = [
+        pl.BlockSpec((1, chunk // 128, 128),
+                     lambda l, c: (l, c, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, chunk, W), lambda l, c: (l, c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    acc_spec = pl.BlockSpec((1, R, W), lambda l, c: (l, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if banks == 2:
+        out0, out1 = pl.pallas_call(
+            _scatter_kernel_rowrmw2,
+            grid=(L, n_pad // chunk),
+            in_specs=in_specs,
+            out_specs=(acc_spec, acc_spec),
+            out_shape=(jax.ShapeDtypeStruct((L, R, W), adt),) * 2,
+            interpret=interpret,
+        )(idx3, cotT)
+        out = out0.astype(jnp.float32) + out1.astype(jnp.float32)
+        return out.reshape(L * R, W)
+    kernel = _scatter_kernel_aligned if aligned else _scatter_kernel_rowrmw
     out = pl.pallas_call(
         kernel,
         grid=(L, n_pad // chunk),
-        in_specs=[
-            pl.BlockSpec((1, chunk // 128, 128),
-                         lambda l, c: (l, c, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, chunk, W), lambda l, c: (l, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, R, W), lambda l, c: (l, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=acc_spec,
         out_shape=jax.ShapeDtypeStruct((L, R, W), adt),
         interpret=interpret,
     )(idx3, cotT)

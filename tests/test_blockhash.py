@@ -291,13 +291,13 @@ def test_blockhash_training_converges():
     from indoor_nerf_tpu.render.renderer import RenderConfig
     from indoor_nerf_tpu.train.step import TrainConfig, init_train_state, train_step
 
-    scene = make_synthetic_scene(n_views=10, H=48, W=48)
+    scene = make_synthetic_scene(n_views=8, H=40, W=40)
     bg = BlockHashConfig(
         bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
         n_levels=8, log2_rows=7, base_resolution=16, finest_resolution=128,
     )
     fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
-    rc = RenderConfig(field=fc, n_samples=32, white_bkgd=True)
+    rc = RenderConfig(field=fc, n_samples=24, white_bkgd=True)
     cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
                       n_rand=512, lrate=0.01, tv_loss_weight=0.0)
     H, W, _ = scene["hwf"]
@@ -309,13 +309,13 @@ def test_blockhash_training_converges():
     step_fn = jax.jit(functools.partial(train_step, config=cfg))
     key = jax.random.PRNGKey(1)
     last = None
-    for i in range(400):
+    for i in range(220):
         key, sub = jax.random.split(key)
         batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
         state, metrics = step_fn(state, batch, sub)
         last = float(metrics["psnr"])
     assert np.isfinite(last)
-    assert last > 18.0, last
+    assert last > 17.0, last
 
 
 def test_blockhash_acaq_quantization():

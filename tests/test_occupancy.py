@@ -112,13 +112,13 @@ def test_occupancy_training_converges():
     step_fn = jax.jit(functools.partial(train_step, config=cfg))
     key = jax.random.PRNGKey(1)
     last = None
-    for i in range(400):
+    for i in range(250):
         key, sub = jax.random.split(key)
         batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
         state, metrics = step_fn(state, batch, sub)
         last = float(metrics["psnr"])
     assert np.isfinite(last)
-    assert last > 18.0, last
+    assert last > 17.0, last
     # The grid should have pruned most of the (mostly empty) scene: after
     # 50 EMA rounds at decay 0.95, never-refreshed empty cells sit at
     # 0.95^50 ~ 0.08 while occupied cells carry real densities >> 1.

@@ -64,3 +64,43 @@ def test_supports_gate():
     assert not supports(16, 8192, 64, 16 * 4096)   # odd width
     assert not supports(16, 1 << 17, 128, 16 * 4096)  # acc > VMEM budget
     assert not supports(16, 8192, 128, 100)  # M not divisible by L
+
+
+def test_fused_backward_via_pallas_matches_xla(rng):
+    """The integrated path: block_hash_encode's fused backward with the
+    Pallas scatter (interpret mode) must produce the same table gradient
+    as the XLA scatter path."""
+    import dataclasses
+
+    import indoor_nerf_tpu.ops.blockhash as bh
+
+    cfg = bh.BlockHashConfig(
+        bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0),
+        n_levels=4, log2_rows=7, base_resolution=16, finest_resolution=64,
+        block_size=3, gather_dtype="bfloat16", scatter_dtype="bfloat16",
+    )
+    table = bh.init_block_table(jax.random.PRNGKey(0), cfg) * 1e4
+    pts = jnp.asarray(rng.uniform(-0.9, 0.9, size=(200, 3)), jnp.float32)
+
+    def loss(tbl):
+        feats, _ = bh.block_hash_encode(pts, tbl, cfg)
+        return jnp.sum(jnp.sin(feats))
+
+    bh._FORCE_PALLAS_SCATTER_INTERPRET = True
+    try:
+        g_kernel = jax.grad(loss)(table)
+    finally:
+        bh._FORCE_PALLAS_SCATTER_INTERPRET = False
+    old = bh.USE_PALLAS_SCATTER
+    bh.USE_PALLAS_SCATTER = False
+    try:
+        g_xla = jax.grad(loss)(table)
+    finally:
+        bh.USE_PALLAS_SCATTER = old
+
+    # Kernel accumulates in f32, the XLA bf16 path in bf16 — tolerance at
+    # bf16 resolution of the accumulated values.
+    np.testing.assert_allclose(
+        np.asarray(g_kernel), np.asarray(g_xla), atol=0.02, rtol=0.01
+    )
+    assert float(jnp.abs(g_kernel).max()) > 0.0

@@ -62,7 +62,7 @@ def test_training_converges():
 
     key = jax.random.PRNGKey(1)
     first_psnr, last_psnr = None, None
-    for i in range(400):
+    for i in range(250):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, _np_batch(sampler.next()), sub)
         if i == 0:
@@ -73,7 +73,7 @@ def test_training_converges():
     # The scene is mostly white background: even the init renders ~8-10 dB.
     # 400 steps of a working trainer reach far beyond that.
     assert last_psnr > first_psnr + 6.0, (first_psnr, last_psnr)
-    assert last_psnr > 18.0, last_psnr
+    assert last_psnr > 17.0, last_psnr
 
 
 @pytest.mark.slow
@@ -114,7 +114,7 @@ def test_flagship_config_converges():
 
     key = jax.random.PRNGKey(1)
     first_psnr, last_psnr = None, None
-    for i in range(400):
+    for i in range(250):
         key, sub = jax.random.split(key)
         state, metrics = step_fn(state, _np_batch(sampler.next()), sub)
         if i == 0:
@@ -123,7 +123,7 @@ def test_flagship_config_converges():
 
     assert np.isfinite(last_psnr)
     assert last_psnr > first_psnr + 6.0, (first_psnr, last_psnr)
-    assert last_psnr > 18.0, last_psnr
+    assert last_psnr > 17.0, last_psnr
 
 
 @pytest.mark.slow
