@@ -114,7 +114,13 @@ def _scatter_kernel_rowrmw2(idx_ref, cot_ref, acc0_ref, acc1_ref):
     """Dual-bank row RMW: even entries accumulate into acc0, odd into acc1
     (merged by the caller). Two separate output refs let Mosaic prove
     store/load independence between consecutive iterations and pipeline
-    the RMWs — a single accumulator serializes on potential aliasing."""
+    the RMWs — a single accumulator serializes on potential aliasing.
+
+    WARNING (measured 2026-08-17): compiling this variant on the v5e via
+    the axon tunnel HUNG the compile and wedged the chip (~40 min
+    recovery). Correct in interpreter mode; do NOT run banks=2 on TPU
+    until the Mosaic issue is understood. banks=1 is the production path.
+    """
     c = pl.program_id(1)
 
     @pl.when(c == 0)

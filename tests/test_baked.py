@@ -85,6 +85,7 @@ def test_bake_exact_at_vertices():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_baked_render_matches_online():
     """Train a small field, bake it, and check the baked render stays in the
     online render's quality class on a held-out view."""

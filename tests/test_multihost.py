@@ -33,6 +33,7 @@ def _free_port() -> int:
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_two_process_multihost_training(tmp_path):
     port = _free_port()
     argv_common = [

@@ -103,6 +103,7 @@ def test_ndc_hwf_required():
 
 
 @pytest.mark.slow
+@pytest.mark.nightly
 def test_ndc_llff_end_to_end(tmp_path):
     """Train through ndc=True on the synthetic forward-facing scene via the
     full CLI driver; assert convergence and a finite held-out render."""

@@ -104,3 +104,16 @@ def test_fused_backward_via_pallas_matches_xla(rng):
         np.asarray(g_kernel), np.asarray(g_xla), atol=0.02, rtol=0.01
     )
     assert float(jnp.abs(g_kernel).max()) > 0.0
+
+
+def test_scatter_dual_bank_matches(rng):
+    """banks=2 (dual accumulator) is numerically identical to banks=1.
+    Interpreter-mode only: the TPU compile of this variant wedged the v5e
+    (see the kernel docstring) — correctness is pinned here so the variant
+    can be re-tried safely on future Mosaic versions."""
+    L, R, W, N = 4, 64, 128, 300
+    cot, flat = _mk(rng, L, R, W, N, "float32")
+    a = scatter_add_table(cot, flat, L, R, chunk=128, interpret=True)
+    b = scatter_add_table(cot, flat, L, R, chunk=128, interpret=True,
+                          banks=2)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
