@@ -49,6 +49,11 @@ from jax.experimental.pallas import tpu as pltpu
 from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
 
 _CHUNK = 2048  # cotangent rows per grid step (multiple of 128)
+# fori_loop unroll of the 8-row groups. KEEP AT 1: the unroll=2 compile
+# wedged the v5e via the axon tunnel (2026-08-17, concurrent-job run —
+# unverified in isolation, but not worth the chip risk for an unknown
+# gain; the serial RMW is ~18 ns/row either way).
+_UNROLL = 1
 
 
 def _scatter_kernel_rowrmw(idx_ref, cot_ref, acc_ref):
@@ -74,7 +79,7 @@ def _scatter_kernel_rowrmw(idx_ref, cot_ref, acc_ref):
             acc_ref[0, pl.ds(r, 1), :] += rows8[k : k + 1, :]
         return carry
 
-    jax.lax.fori_loop(0, chunk // 8, body, 0)
+    jax.lax.fori_loop(0, chunk // 8, body, 0, unroll=_UNROLL)
 
 
 def _scatter_kernel_aligned(idx_ref, cot_ref, acc_ref):

@@ -42,8 +42,12 @@ def main():
                     help="with --guided: samples/ray of the low-res pass")
     ap.add_argument("--pose_block", type=int, default=1,
                     help="poses rendered per device dispatch (amortizes "
-                         "the fixed ~0.17 s/dispatch tunnel latency; "
-                         "VERDICT round-1 item 6)")
+                         "fixed per-dispatch latency; VERDICT round-1 "
+                         "item 6)")
+    ap.add_argument("--compare_single", action="store_true",
+                    help="ALSO measure pose_block=1 in the same process "
+                         "(same bake / same tunnel conditions) and print "
+                         "a second JSON line")
     args = ap.parse_args()
     if args.tile_rays is None:
         args.tile_rays = (4096 if args.baked
@@ -104,6 +108,7 @@ def main():
         )
         render_call = (lambda: render(c2ws, K, 2.0, 6.0)) if B > 1 else (
             lambda: render(c2w, K, 2.0, 6.0))
+        single_call = lambda: render(c2w, K, 2.0, 6.0)
         cfg_out = {"baked_res": args.baked_res, "dtype": args.baked_dtype,
                    "n_samples": args.n_samples, "guided": args.guided,
                    "n_coarse": args.n_coarse if args.guided else None,
@@ -120,6 +125,8 @@ def main():
         else:
             render = make_image_renderer(rc, H, W, args.tile_rays)
             render_call = lambda: render(params, c2w, K, 2.0, 6.0)
+        single = make_image_renderer(rc, H, W, args.tile_rays)
+        single_call = lambda: single(params, c2w, K, 2.0, 6.0)
         cfg_out = {"i_embed": args.i_embed, "n_samples": args.n_samples,
                    "n_importance": args.n_importance}
 
@@ -143,8 +150,25 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "config": cfg_out,
-        "seconds_per_frame": round(dt / args.frames, 3),
+        "seconds_per_frame": round(dt / (n_calls * B), 3),
     }))
+
+    if args.compare_single and B > 1:
+        out = single_call()
+        float(out["rgb_map"].sum())
+        t0 = time.perf_counter()
+        s = 0.0
+        for i in range(args.frames):
+            out = single_call()
+            s += float(out["rgb_map"].sum())
+        dt1 = time.perf_counter() - t0
+        print(json.dumps({
+            "metric": f"{tag}render_fps_{args.res}x{args.res}",
+            "value": round(args.frames / dt1, 3),
+            "unit": "frames/s",
+            "config": {**cfg_out, "pose_block": 1},
+            "seconds_per_frame": round(dt1 / args.frames, 3),
+        }))
 
 
 if __name__ == "__main__":
