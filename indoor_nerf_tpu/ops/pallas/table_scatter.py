@@ -148,6 +148,57 @@ def _scatter_kernel_rowrmw2(idx_ref, cot_ref, acc0_ref, acc1_ref):
     jax.lax.fori_loop(0, chunk // 8, body, 0)
 
 
+def _scatter_kernel_runmerge(idx_ref, cot_ref, acc_ref):
+    """Row RMW with RUN-MERGING: consecutive entries targeting the SAME
+    row accumulate in a register and flush with one RMW when the row
+    changes. The entry stream is sample-consecutive along rays (cotT is
+    [L, N, W] with N = ray-major x sample), and at coarse levels a ray
+    crosses only a handful of tiles across its ~64 samples, so most
+    entries merge — trading the ~18 ns VMEM RMW for a ~cheap vector add.
+    Fine levels degenerate to one flush per entry (the plain RMW cost
+    plus a predicate). Exact for any input (merging is associative).
+
+    The run register carries across chunk steps of the same level via a
+    flush at the top of each chunk (run state is re-seeded from the first
+    entry), and the final partial run flushes at chunk end — so every
+    chunk is self-contained: seed from entry 0, flush after entry
+    chunk-1. Correct because padding rows target row 0 with zero
+    cotangent."""
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    chunk = cot_ref.shape[1]
+    W = cot_ref.shape[2]
+
+    def body(j, carry):
+        run_row, run_acc = carry
+        j8 = pl.multiple_of(j * 8, 8)
+        rows8 = cot_ref[0, pl.ds(j8, 8), :].astype(acc_ref.dtype)  # [8, W]
+        for k in range(8):
+            i = j * 8 + k
+            r = idx_ref[0, i // 128, i % 128]
+            same = r == run_row
+
+            @pl.when(jnp.logical_not(same))
+            def _flush(run_row=run_row, run_acc=run_acc):
+                acc_ref[0, pl.ds(run_row, 1), :] += run_acc
+
+            row = rows8[k : k + 1, :]
+            run_acc = jnp.where(same, run_acc + row, row)
+            run_row = r
+        return run_row, run_acc
+
+    # Seed: a virtual empty run targeting row 0 with zero contribution.
+    run_row, run_acc = jax.lax.fori_loop(
+        0, chunk // 8, body,
+        (jnp.int32(0), jnp.zeros((1, W), acc_ref.dtype)),
+    )
+    acc_ref[0, pl.ds(run_row, 1), :] += run_acc
+
+
 def supports(n_levels: int, rows_per_level: int, width: int,
              m_rows: int) -> bool:
     """Shapes the kernel handles: per-level accumulator must fit VMEM and
@@ -164,7 +215,7 @@ def supports(n_levels: int, rows_per_level: int, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "rows_per_level", "aligned", "chunk",
-                     "interpret", "acc_dtype", "banks"),
+                     "interpret", "acc_dtype", "banks", "merge_runs"),
 )
 def scatter_add_table(
     cot: jnp.ndarray,
@@ -176,6 +227,7 @@ def scatter_add_table(
     interpret: bool = False,
     acc_dtype: str = "float32",
     banks: int = 1,
+    merge_runs: bool = False,
 ) -> jnp.ndarray:
     """``zeros([L*R, W]).at[flat_row].add(cot)`` with VMEM accumulation.
 
@@ -227,7 +279,12 @@ def scatter_add_table(
         )(idx3, cotT)
         out = out0.astype(jnp.float32) + out1.astype(jnp.float32)
         return out.reshape(L * R, W)
-    kernel = _scatter_kernel_aligned if aligned else _scatter_kernel_rowrmw
+    if merge_runs:
+        kernel = _scatter_kernel_runmerge
+    elif aligned:
+        kernel = _scatter_kernel_aligned
+    else:
+        kernel = _scatter_kernel_rowrmw
     out = pl.pallas_call(
         kernel,
         grid=(L, n_pad // chunk),

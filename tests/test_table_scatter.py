@@ -117,3 +117,29 @@ def test_scatter_dual_bank_matches(rng):
     b = scatter_add_table(cot, flat, L, R, chunk=128, interpret=True,
                           banks=2)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("pattern", ["random", "runs", "allsame", "alternate"])
+def test_scatter_runmerge_matches(rng, pattern):
+    """merge_runs=True is exact for every run structure: random rows,
+    ray-coherent runs, a single row everywhere (one giant run), and
+    worst-case alternation (no merging at all)."""
+    L, R, W, N = 3, 64, 128, 384
+    cot = jnp.asarray(rng.normal(size=(N * L, W)).astype(np.float32))
+    if pattern == "random":
+        rows = rng.integers(0, R, size=(N, L))
+    elif pattern == "runs":
+        rows = np.repeat(rng.integers(0, R, size=(N // 16, L)), 16, axis=0)
+    elif pattern == "allsame":
+        rows = np.full((N, L), 7)
+    else:
+        rows = np.tile(np.array([3, 11]), N // 2)[:, None] + np.zeros(
+            (N, L), np.int64)
+    flat = jnp.asarray(
+        (rows + np.arange(L)[None, :] * R).reshape(-1).astype(np.int32)
+    )
+    ref = scatter_add_table_xla(cot, flat, L, R)
+    out = scatter_add_table(
+        cot, flat, L, R, chunk=128, interpret=True, merge_runs=True
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
