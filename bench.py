@@ -61,8 +61,15 @@ def main():
         bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
     )
     fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0)
+    # 48 occupancy-guided samples/ray: the VALIDATED flagship protocol —
+    # the configs/*_tpu.txt presets ship occ_samples=48 and the 1200-iter
+    # convergence regression at exactly these settings reproduces the
+    # reference-class quality targets (42 dB train / 24.5 dB held-out,
+    # convergence_tpu_r2.json; milestone trajectory identical across
+    # rounds). The candidate pool stays 64 (n_samples) before the
+    # occupancy CDF resampling.
     rc = RenderConfig(field=fc, n_samples=64, n_importance=0,
-                      white_bkgd=True, occupancy=occupancy, n_occ_samples=64)
+                      white_bkgd=True, occupancy=occupancy, n_occ_samples=48)
     cfg = TrainConfig(render=rc, near=2.0, far=6.0, n_rand=n_rand)
 
     # Rays that traverse the bbox: cameras on a radius-4 shell aimed at
