@@ -37,6 +37,9 @@ def main():
                          "axon chip before; these reuse the training "
                          "step's exact shapes/index distribution")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--occ_samples", type=int, default=None,
+                    help="occupancy-guided samples per ray (default: "
+                         "n_samples=64; the shipped flagship preset is 48)")
     ap.add_argument("--mlp_bf16", action="store_true",
                     help="bfloat16 MLP activation precision")
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -90,9 +93,10 @@ def main():
     )
     fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0,
                      compute_dtype="bfloat16" if args.mlp_bf16 else "float32")
+    n_occ = args.occ_samples if args.occ_samples else n_samples
     rc = RenderConfig(field=fc, n_samples=n_samples, n_importance=0,
                       white_bkgd=True, occupancy=occupancy,
-                      n_occ_samples=n_samples)
+                      n_occ_samples=n_occ)
     cfg = TrainConfig(render=rc, near=2.0, far=6.0, n_rand=n_rand)
 
     rng = np.random.default_rng(0)
@@ -133,7 +137,7 @@ def main():
         # scatter, or their composition?
         from indoor_nerf_tpu.ops.blockhash import _tile_coords
 
-        n_pts = n_rand * n_samples
+        n_pts = n_rand * n_occ
         pts = jnp.asarray(
             rng.uniform(-bbox, bbox, size=(n_pts, 3)), jnp.float32)
         flat_row, pcoord, _ = _tile_coords(pts, block_grid)
@@ -290,7 +294,7 @@ def main():
     timed("render_fwd_only", make_fwd, state, batch)
 
     # --- 4/5. encode fwd / fwd+bwd at the step's point count ----------------
-    n_pts = n_rand * n_samples
+    n_pts = n_rand * n_occ
     pts = jnp.asarray(
         rng.uniform(-bbox, bbox, size=(n_pts, 3)), jnp.float32)
     table = state["params"]["table"]
