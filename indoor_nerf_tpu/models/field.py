@@ -419,18 +419,29 @@ def query_field(
     r, s, _ = pts.shape
     flat = pts.reshape(-1, 3)
     bg = config.block_grid
-    if config.i_embed == 3 and bg is not None and bg.ray_strides is not None:
-        # Ray-structured strided encode: coarse levels gather/scatter only
-        # at knot samples along each ray (ops/blockhash.py — the encode
-        # backward is scatter-transaction bound, so fewer rows = faster).
-        from indoor_nerf_tpu.ops.blockhash import block_hash_encode_strided
+    if config.i_embed == 3 and bg is not None and (
+            bg.ray_strides is not None or bg.ray_groups is not None):
+        # Ray-structured encodes (ops/blockhash.py — the encode is row-
+        # transaction bound both directions, so fewer rows = faster):
+        # - ray_groups: one shared tile row per G consecutive samples at
+        #   coarse levels, per-sample exact tent interp (the default
+        #   fast path);
+        # - ray_strides: knot decimation + lerp (legacy opt-in, lossy).
+        from indoor_nerf_tpu.ops.blockhash import (
+            block_hash_encode_grouped,
+            block_hash_encode_strided,
+        )
 
+        assert not (bg.ray_strides is not None and bg.ray_groups is not None), \
+            "ray_strides and ray_groups are mutually exclusive"
         table = params["table"]
         if config.use_quantization and quant_state is not None:
             table, quant_state = _quantize_block_table(
                 table, quant_state, config, train, step
             )
-        feats3, keep2 = block_hash_encode_strided(pts, table, bg)
+        enc = (block_hash_encode_grouped if bg.ray_groups is not None
+               else block_hash_encode_strided)
+        feats3, keep2 = enc(pts, table, bg)
         feats = feats3.reshape(r * s, -1)
         keep = keep2.reshape(r * s)
     else:

@@ -137,6 +137,23 @@ class BlockHashConfig:
     # [R, S, 3] ray-structured query path (query_field); flat queries
     # (occupancy refresh) always use the full encode.
     ray_strides: Optional[Tuple[int, ...]] = None
+    # Per-level sample-GROUP sizes (len == n_levels; None = off). Level l
+    # with group size G > 1 gathers ONE tile row per G consecutive samples
+    # along each ray (the partition block of the group's middle sample)
+    # and interpolates every sample EXACTLY within that shared 64/125-
+    # vertex tile; the backward group-sums the per-sample cotangents
+    # before the scatter — G-fold fewer rows in BOTH the transaction-
+    # bound forward gather (~90M rows/s) and the backward scatter.
+    # Unlike ray_strides this is NOT a decimation: whenever the group's
+    # samples share the anchor's partition block (the measured common
+    # case at coarse levels — mean same-block runs of 8/6/5 samples,
+    # BENCH_NOTES.md), the features are bit-identical to the ungrouped
+    # encode; samples that fall outside the anchor block clamp to the
+    # tile edge (a boundary-extrapolation approximation at those samples
+    # only). Group sizes must be constant within a contiguous level run
+    # and divide the sample count; classes that don't divide S fall back
+    # to the ungrouped encode.
+    ray_groups: Optional[Tuple[int, ...]] = None
 
     @property
     def rows_per_level(self) -> int:
@@ -285,6 +302,30 @@ def _tile_coords(
     return flat_row, p, keep_mask
 
 
+def _gather_rows(
+    table: jnp.ndarray, flat_row: jnp.ndarray, config: BlockHashConfig,
+) -> jnp.ndarray:
+    """Fetch table rows ``[M, F*lanes]`` f32, honoring gather_dtype."""
+    if config.gather_dtype == "int8":
+        # Per-level symmetric quantization of the master table (one
+        # [L*R, F*lanes] pass, ~17M elements — negligible next to the GBs
+        # of row traffic the int8 rows quarter). Rows dequantize with the
+        # gathered level's scale right after the fetch.
+        L, R = config.n_levels, config.rows_per_level
+        t = table.reshape(L, R * table.shape[1])
+        scale = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-12) / 127.0  # [L]
+        q = jnp.round(table / jnp.repeat(scale, R)[:, None]).astype(jnp.int8)
+        rows = jnp.take(q, flat_row, axis=0).astype(jnp.float32)
+        return rows * scale[flat_row // R][:, None]
+    src = table
+    if config.gather_dtype == "bfloat16":
+        src = table.astype(jnp.bfloat16)
+    rows = jnp.take(src, flat_row, axis=0)
+    if rows.dtype != jnp.float32:
+        rows = rows.astype(jnp.float32)
+    return rows
+
+
 def _gather_interp(
     table: jnp.ndarray, flat_row: jnp.ndarray, p: jnp.ndarray,
     config: BlockHashConfig,
@@ -306,24 +347,7 @@ def _gather_interp(
     hardware/compilers. Optionally move the rows (and, under XLA autodiff,
     their backward cotangent) in bfloat16 — the 33 MB table cast is
     negligible next to the GBs of row traffic it halves."""
-    if config.gather_dtype == "int8":
-        # Per-level symmetric quantization of the master table (one
-        # [L*R, F*lanes] pass, ~17M elements — negligible next to the GBs
-        # of row traffic the int8 rows quarter). Rows dequantize with the
-        # gathered level's scale right after the fetch.
-        L, R = config.n_levels, config.rows_per_level
-        t = table.reshape(L, R * table.shape[1])
-        scale = jnp.maximum(jnp.max(jnp.abs(t), axis=1), 1e-12) / 127.0  # [L]
-        q = jnp.round(table / jnp.repeat(scale, R)[:, None]).astype(jnp.int8)
-        rows = jnp.take(q, flat_row, axis=0).astype(jnp.float32)
-        rows = rows * scale[flat_row // R][:, None]
-    else:
-        src = table
-        if config.gather_dtype == "bfloat16":
-            src = table.astype(jnp.bfloat16)
-        rows = jnp.take(src, flat_row, axis=0)
-        if rows.dtype != jnp.float32:
-            rows = rows.astype(jnp.float32)
+    rows = _gather_rows(table, flat_row, config)
 
     if USE_TILE_INTERP_KERNEL and config.block_size == BLOCK:
         from indoor_nerf_tpu.ops.pallas.tile_interp import tile_interp
@@ -544,4 +568,232 @@ def block_hash_encode_strided(
             outs.append(
                 jnp.einsum("rkf,sk->rsf", fk, jnp.asarray(W),
                            preferred_element_type=jnp.float32))
+    return jnp.concatenate(outs, axis=-1), keep
+
+
+# ---------------------------------------------------------------------------
+# Grouped encode: one tile row per G consecutive samples at coarse levels.
+#
+# The encode is row-TRANSACTION bound in both directions (forward gather
+# ~90M rows/s, backward scatter ~70M rows/s — tpu_ablate_b3_bf16_occ48.json)
+# so the only lever left is FEWER (point, level) rows. At coarse levels,
+# consecutive samples along a ray stay inside the same halo'd tile for runs
+# of 8/6/5 samples (BENCH_NOTES.md run-structure measurement), so a group of
+# G consecutive samples can share ONE gathered row — the partition block of
+# the group's middle sample — and still interpolate each sample EXACTLY
+# (the tent contraction uses the sample's own in-tile position; trilinear
+# interpolation from any tile containing the sample's bracketing vertices
+# is identical). Samples whose bracketing vertices fall outside the anchor
+# block clamp to the tile edge: a boundary extrapolation at those samples
+# only, at levels whose feature scale >> the sample spacing. The backward
+# group-sums per-sample cotangent rows (a static VPU reshape-reduce) before
+# the scatter, cutting scatter rows by the same factor.
+#
+# Reference anchor: this replaces the per-sample `nn.Embedding` lookups of
+# PocketNeRF/hash_encoding.py:88-104 with a ray-structured shared-row
+# fetch; no reference equivalent exists (CUDA gathers are latency-hidden).
+# ---------------------------------------------------------------------------
+
+
+def _grouped_coords(
+    x3: jnp.ndarray, config: BlockHashConfig,
+    levels: Tuple[int, ...], G: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-GROUP table row + per-sample in-tile position.
+
+    x3: ``[Rn, S, 3]`` ray-structured samples (sorted along the ray —
+    ops/occupancy.py:134 / ops/sampling.py both emit sorted z).
+    Returns (flat_row ``[Rn*(S//G)*L]`` int32 global row ids of each
+    group's anchor tile, p ``[Rn, S//G, G, L, 3]`` f32 in-tile positions
+    clamped to the tile's tent support [0, block_size])."""
+    Rn, S, _ = x3.shape
+    lv = np.asarray(levels, np.int32)
+    L = len(lv)
+    R = config.rows_per_level
+
+    box_min = jnp.asarray(config.bbox_min, jnp.float32)
+    box_max = jnp.asarray(config.bbox_max, jnp.float32)
+    res = jnp.asarray(
+        np.asarray(level_resolutions(config.as_hash_grid()))[lv])  # [L]
+
+    x = x3.reshape(-1, 3)
+    xc = jnp.clip(x, box_min, box_max)
+    grid_size = (box_max - box_min)[None, :] / res[:, None]  # [L, 3]
+    rel = (xc[:, None, :] - box_min) / grid_size[None, :, :]  # [N, L, 3]
+    bl = jnp.floor(rel).astype(jnp.int32)
+    w = rel - bl.astype(jnp.float32)
+
+    B = config.block_size
+    stagger = jnp.asarray(_stagger(config.n_levels, B)[lv])  # [L, 3]
+    v0 = (bl + stagger[None, :, :]).reshape(Rn, S // G, G, L, 3)
+    anchor = v0[:, :, G // 2]  # [Rn, S//G, L, 3] — middle sample's vertex
+    block = anchor // B  # partition-aligned block of the anchor
+    level_ids = jnp.asarray(lv)
+    row = _block_row_hash(
+        block, level_ids[None, None, :], config.log2_rows)  # [Rn, S//G, L]
+    flat_row = (
+        level_ids[None, None, :] * R + row.astype(jnp.int32)
+    ).reshape(-1)
+    local = v0 - block[:, :, None, :, :] * B  # int, may exit [0, B)
+    p = jnp.clip(
+        local.astype(jnp.float32) + w.reshape(Rn, S // G, G, L, 3),
+        0.0, float(B),
+    )
+    return flat_row, p
+
+
+def _grouped_gather_interp(
+    table: jnp.ndarray, flat_row: jnp.ndarray, p: jnp.ndarray,
+    config: BlockHashConfig,
+) -> jnp.ndarray:
+    """Gather one row per group, tent-interp every sample within it.
+
+    Returns ``[Rn, S, L*F]`` (level-major, feature-minor — the
+    block_hash_encode feature layout)."""
+    Rn, SG, G, L, _ = p.shape
+    lpf = config.lanes_per_feature
+    F = config.n_features_per_level
+    rows = _gather_rows(table, flat_row, config)  # [Rn*SG*L, F*lpf]
+    w = _tent_weights(p.reshape(-1, 3), config.side, lpf)
+    w = w.reshape(Rn, SG, G, L, lpf)
+    rows = rows.reshape(Rn, SG, 1, L, F * lpf)
+    outs = [
+        jnp.sum(rows[..., f * lpf:(f + 1) * lpf] * w, axis=-1)
+        for f in range(F)
+    ]  # each [Rn, SG, G, L]
+    feats = jnp.stack(outs, axis=-1)  # [Rn, SG, G, L, F]
+    return feats.reshape(Rn, SG * G, L * F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _encode_grouped_fused(
+    table: jnp.ndarray, x3: jnp.ndarray, config: BlockHashConfig,
+    levels: Tuple[int, ...], G: int,
+) -> jnp.ndarray:
+    """Grouped encode with the fused low-precision backward.
+
+    Backward forms per-sample cotangent rows, GROUP-SUMS them (static
+    reshape-reduce — free VPU work), and scatter-accumulates 1/G as many
+    rows via the Pallas VMEM kernel (contiguous level subsets use the
+    kernel's `level0` window). Gradient w.r.t. the points is ZERO
+    (BlockHashConfig.scatter_dtype note)."""
+    flat_row, p = _grouped_coords(x3, config, levels, G)
+    return _grouped_gather_interp(table, flat_row, p, config)
+
+
+def _encode_grouped_fused_fwd(table, x3, config, levels, G):
+    flat_row, p = _grouped_coords(x3, config, levels, G)
+    return _grouped_gather_interp(table, flat_row, p, config), (flat_row, p)
+
+
+def _encode_grouped_fused_bwd(config, levels, G, res, g):
+    flat_row, p = res
+    Rn, SG, Gd, L, _ = p.shape
+    F = config.n_features_per_level
+    lpf = config.lanes_per_feature
+    side = config.side
+    W = F * lpf
+    R = config.rows_per_level
+    dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
+          else jnp.float32)
+
+    # Per-sample cotangent rows (f32), then the group-sum — the reduce
+    # happens BEFORE the precision cast so G-member sums keep f32.
+    pf = p.reshape(-1, 3)
+    m = pf.shape[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (m, W), 1)
+    v = lane % lpf
+    lx = (v // (side * side)).astype(jnp.float32)
+    ly = ((v // side) % side).astype(jnp.float32)
+    lz = (v % side).astype(jnp.float32)
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - pf[:, 0:1]))
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - pf[:, 1:2]))
+    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pf[:, 2:3]))
+    feat = lane // lpf
+    gg = g.reshape(Rn, SG, Gd, L, F).reshape(m, F)
+    g_sel = jnp.zeros((m, W), jnp.float32)
+    for f in range(F):
+        g_sel = jnp.where(feat == f, gg[:, f:f + 1], g_sel)
+    cot_s = g_sel * tx * ty * tz  # [m, W] per-sample
+    cot = cot_s.reshape(Rn, SG, Gd, L, W).sum(axis=2)  # group-sum
+    cot = cot.reshape(Rn * SG * L, W).astype(dt)
+
+    lv = tuple(int(l) for l in levels)
+    contiguous = all(lv[i + 1] == lv[i] + 1 for i in range(len(lv) - 1))
+    shape = (config.n_levels * R, W)
+    use_kernel = False
+    if USE_PALLAS_SCATTER and contiguous:
+        from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
+        from indoor_nerf_tpu.ops.pallas.table_scatter import supports
+
+        on_tpu = _on_tpu()
+        use_kernel = (on_tpu or _FORCE_PALLAS_SCATTER_INTERPRET) and supports(
+            L, R, W, cot.shape[0])
+    if use_kernel:
+        from indoor_nerf_tpu.ops.pallas.table_scatter import (
+            scatter_add_table,
+        )
+
+        sub = scatter_add_table(
+            cot, flat_row, L, R,
+            interpret=not on_tpu,
+            chunk=PALLAS_SCATTER_CHUNK,
+            acc_dtype=PALLAS_SCATTER_ACC,
+            level0=lv[0],
+        )
+        grad_table = jnp.pad(
+            sub, ((lv[0] * R, (config.n_levels - lv[0] - L) * R), (0, 0)))
+    else:
+        grad_table = (
+            jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
+        )
+    dx = jnp.zeros((Rn, SG * Gd, 3), jnp.float32)
+    return grad_table, dx
+
+
+_encode_grouped_fused.defvjp(_encode_grouped_fused_fwd,
+                             _encode_grouped_fused_bwd)
+
+
+def block_hash_encode_grouped(
+    pts: jnp.ndarray, table: jnp.ndarray, config: BlockHashConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Ray-structured encode ``[Rn, S, 3] -> ([Rn, S, L*F], keep [Rn, S])``
+    honoring ``config.ray_groups``.
+
+    Levels are processed in contiguous classes of equal group size; G > 1
+    classes share one gathered tile row per G consecutive samples (exact
+    while the group stays inside the anchor's partition block — the
+    measured common case at coarse levels; clamped at block edges
+    otherwise). A class whose G does not divide S falls back to the
+    ungrouped encode for those levels.
+    """
+    Rn, S, _ = pts.shape
+    groups_cfg = config.ray_groups
+    assert groups_cfg is not None and len(groups_cfg) == config.n_levels
+
+    box_min = jnp.asarray(config.bbox_min, jnp.float32)
+    box_max = jnp.asarray(config.bbox_max, jnp.float32)
+    keep = jnp.all((pts >= box_min) & (pts <= box_max), axis=-1)  # [Rn, S]
+
+    classes = []  # contiguous equal-G level runs, in level order
+    for l, gsz in enumerate(groups_cfg):
+        if classes and classes[-1][0] == gsz:
+            classes[-1][1].append(l)
+        else:
+            classes.append([int(gsz), [l]])
+
+    outs = []
+    for gsz, lv in classes:
+        lv_t = tuple(lv)
+        if gsz <= 1 or S % gsz != 0:
+            f, _ = block_hash_encode(
+                pts.reshape(-1, 3), table, config, levels=lv_t)
+            outs.append(f.reshape(Rn, S, -1))
+        elif (config.scatter_dtype == "bfloat16"
+              or config.gather_dtype == "int8"):
+            outs.append(_encode_grouped_fused(table, pts, config, lv_t, gsz))
+        else:
+            flat_row, p = _grouped_coords(pts, config, lv_t, gsz)
+            outs.append(_grouped_gather_interp(table, flat_row, p, config))
     return jnp.concatenate(outs, axis=-1), keep

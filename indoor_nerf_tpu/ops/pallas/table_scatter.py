@@ -215,7 +215,8 @@ def supports(n_levels: int, rows_per_level: int, width: int,
 @functools.partial(
     jax.jit,
     static_argnames=("n_levels", "rows_per_level", "aligned", "chunk",
-                     "interpret", "acc_dtype", "banks", "merge_runs"),
+                     "interpret", "acc_dtype", "banks", "merge_runs",
+                     "level0"),
 )
 def scatter_add_table(
     cot: jnp.ndarray,
@@ -228,15 +229,20 @@ def scatter_add_table(
     acc_dtype: str = "float32",
     banks: int = 1,
     merge_runs: bool = False,
+    level0: int = 0,
 ) -> jnp.ndarray:
-    """``zeros([L*R, W]).at[flat_row].add(cot)`` with VMEM accumulation.
+    """``zeros([L*R, W]).at[flat_row - level0*R].add(cot)`` with VMEM
+    accumulation.
 
     cot: ``[M, W]`` cotangent rows (f32/bf16), M = N * n_levels ordered
         level-minor (m = point * L + level — the _tile_coords layout).
     flat_row: ``[M]`` int32 global row ids; entry m must target level
-        ``m % L``'s block, i.e. ``flat_row[m] // R == m % L`` (true by
-        construction in blockhash._tile_coords, where the level id is
-        baked into the row). Rows are accumulated per level.
+        ``level0 + m % L``'s block, i.e. ``flat_row[m] // R == level0 +
+        m % L`` (true by construction in blockhash._tile_coords, where
+        the level id is baked into the row). Rows are accumulated per
+        level. ``level0`` supports encodes over a CONTIGUOUS level
+        subset [level0, level0 + L): the returned table covers only
+        those levels; the caller pads it into the full-grid shape.
     Returns ``[L*R, W]`` float32.
     """
     M, W = cot.shape
@@ -251,7 +257,8 @@ def scatter_add_table(
     # with a zero cotangent: harmless.
     cotT = jnp.moveaxis(cot.reshape(N, L, W), 1, 0)  # [L, N, W]
     local = (
-        flat_row.reshape(N, L) - jnp.arange(L, dtype=flat_row.dtype)[None] * R
+        flat_row.reshape(N, L)
+        - (level0 + jnp.arange(L, dtype=flat_row.dtype))[None] * R
     ).T  # [L, N]
     if n_pad != N:
         cotT = jnp.pad(cotT, ((0, 0), (0, n_pad - N), (0, 0)))

@@ -119,6 +119,10 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
                 tuple(int(v) for v in args.ray_strides.split(","))
                 if getattr(args, "ray_strides", None) else None
             ),
+            ray_groups=(
+                tuple(int(v) for v in args.ray_groups.split(","))
+                if getattr(args, "ray_groups", None) else None
+            ),
         )
     quant = QuantConfig(
         init_bits=float(args.quantization_bits),

@@ -397,3 +397,195 @@ def test_stride_knots_single_sample():
     for S, k in ((2, 4), (5, 2), (32, 4), (7, 3)):
         _, W = _stride_knots(S, k)
         np.testing.assert_allclose(W.sum(axis=1), np.ones(S), rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Grouped encode (ray_groups): shared tile row per G consecutive samples.
+# ---------------------------------------------------------------------------
+
+
+def _ray_pts(rng, n_rays, n_samples, lo=-0.9, hi=0.9):
+    """Sorted ray-structured samples: random segments through the box."""
+    o = rng.uniform(lo, hi, size=(n_rays, 1, 3))
+    d = rng.normal(size=(n_rays, 1, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t = np.sort(rng.uniform(0.0, 0.6, size=(n_rays, n_samples, 1)), axis=1)
+    return jnp.asarray(np.clip(o + t * d, lo, hi), jnp.float32)
+
+
+def test_block_encode_grouped_g1_bitexact(rng):
+    """ray_groups of all 1s routes through the plain encode bit-for-bit."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import block_hash_encode_grouped
+
+    cfg = dataclasses.replace(CFG, ray_groups=(1,) * CFG.n_levels)
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    pts = _ray_pts(rng, 16, 12)
+    f0, k0 = block_hash_encode(pts.reshape(-1, 3), table, CFG)
+    fg, kg = block_hash_encode_grouped(pts, table, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(f0.reshape(16, 12, -1)), np.asarray(fg))
+    np.testing.assert_array_equal(
+        np.asarray(k0.reshape(16, 12)), np.asarray(kg))
+
+
+def test_block_encode_grouped_identical_samples_exact(rng):
+    """Groups of identical points share every block -> grouped == plain."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import block_hash_encode_grouped
+
+    G = 4
+    cfg = dataclasses.replace(CFG, ray_groups=(G,) * CFG.n_levels)
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    base = rng.uniform(-0.9, 0.9, size=(8, 3, 3))  # 8 rays x 3 groups
+    pts = jnp.asarray(
+        np.repeat(base, G, axis=1), jnp.float32)  # [8, 12, 3]
+    f0, _ = block_hash_encode(pts.reshape(-1, 3), table, CFG)
+    fg, _ = block_hash_encode_grouped(pts, table, cfg)
+    np.testing.assert_allclose(
+        np.asarray(f0.reshape(8, 12, -1)), np.asarray(fg),
+        rtol=0, atol=1e-7)
+
+
+def test_block_encode_grouped_exact_where_block_shared(rng):
+    """On realistic sorted ray samples, every (group, level) whose samples
+    all fall in the anchor's partition block reproduces the plain encode
+    exactly; clamped groups stay finite."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import (
+        _stagger,
+        block_hash_encode_grouped,
+    )
+    from indoor_nerf_tpu.ops.encoding import level_resolutions
+
+    G = 4
+    Rn, S = 12, 16
+    cfg = dataclasses.replace(CFG, ray_groups=(G,) * CFG.n_levels)
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    pts = _ray_pts(rng, Rn, S)
+
+    f0, _ = block_hash_encode(pts.reshape(-1, 3), table, CFG)
+    fg, _ = block_hash_encode_grouped(pts, table, cfg)
+    f0 = np.asarray(f0).reshape(Rn, S // G, G, CFG.n_levels, 2)
+    fg2 = np.asarray(fg).reshape(Rn, S // G, G, CFG.n_levels, 2)
+    assert np.all(np.isfinite(fg2))
+
+    # Same-block mask per (ray, group, level), replicating _grouped_coords.
+    res = np.asarray(level_resolutions(cfg.as_hash_grid()))
+    x = np.asarray(pts)
+    bmin, bmax = np.array(cfg.bbox_min), np.array(cfg.bbox_max)
+    xc = np.clip(x, bmin, bmax)
+    stag = _stagger(cfg.n_levels, cfg.block_size)
+    shared = np.zeros((Rn, S // G, cfg.n_levels), bool)
+    for l in range(cfg.n_levels):
+        gs = (bmax - bmin) / res[l]
+        v0 = np.floor((xc - bmin) / gs).astype(np.int64) + stag[l]
+        blk = v0.reshape(Rn, S // G, G, 3)
+        anchor = blk[:, :, G // 2] // cfg.block_size
+        ok = (blk // cfg.block_size == anchor[:, :, None]).all(axis=(2, 3))
+        shared[:, :, l] = ok
+    assert shared.mean() > 0.3, "test scene too hard: no shared groups"
+    m = shared[:, :, None, :, None]
+    np.testing.assert_allclose(
+        np.where(m, fg2, 0.0), np.where(m, f0, 0.0), rtol=0, atol=1e-6)
+
+
+@pytest.mark.parametrize("force_kernel", [False, True])
+def test_block_encode_grouped_fused_backward(rng, force_kernel):
+    """Grouped fused bf16 backward (incl. the Pallas level0-subset kernel
+    in interpreter mode): forward bit-identical to the f32 grouped path,
+    table gradient close to the f32 autodiff transpose, zero dx."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops import blockhash as bh
+
+    G = 2
+    groups = (G, G, 1, 1)  # mixed classes: grouped coarse + plain fine
+    cfg32 = dataclasses.replace(CFG, ray_groups=groups)
+    cfg16 = dataclasses.replace(cfg32, scatter_dtype="bfloat16")
+    table = init_block_table(jax.random.PRNGKey(0), CFG) * 1e4
+    pts = _ray_pts(rng, 24, 8)
+
+    f32v, _ = bh.block_hash_encode_grouped(pts, table, cfg32)
+    old = bh._FORCE_PALLAS_SCATTER_INTERPRET
+    bh._FORCE_PALLAS_SCATTER_INTERPRET = force_kernel
+    try:
+        f16v, _ = bh.block_hash_encode_grouped(pts, table, cfg16)
+        np.testing.assert_array_equal(np.asarray(f32v), np.asarray(f16v))
+
+        def loss(t, cfg):
+            f, _ = bh.block_hash_encode_grouped(pts, t, cfg)
+            return jnp.sum(f ** 2)
+
+        g32 = jax.grad(lambda t: loss(t, cfg32))(table)
+        g16 = jax.grad(lambda t: loss(t, cfg16))(table)
+    finally:
+        bh._FORCE_PALLAS_SCATTER_INTERPRET = old
+    rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
+    assert rel < 0.02, rel
+    assert g16.dtype == jnp.float32
+
+    gx = jax.grad(
+        lambda xx: jnp.sum(
+            bh.block_hash_encode_grouped(xx, table, cfg16)[0] ** 2)
+    )(pts)
+    assert float(jnp.sum(jnp.abs(gx))) == 0.0
+
+
+def test_block_encode_grouped_nondivisible_falls_back(rng):
+    """A class whose G does not divide S uses the ungrouped encode."""
+    import dataclasses
+
+    from indoor_nerf_tpu.ops.blockhash import block_hash_encode_grouped
+
+    cfg = dataclasses.replace(CFG, ray_groups=(4,) * CFG.n_levels)
+    table = init_block_table(jax.random.PRNGKey(0), CFG)
+    pts = _ray_pts(rng, 6, 10)  # 10 % 4 != 0
+    f0, _ = block_hash_encode(pts.reshape(-1, 3), table, CFG)
+    fg, _ = block_hash_encode_grouped(pts, table, cfg)
+    np.testing.assert_array_equal(
+        np.asarray(f0.reshape(6, 10, -1)), np.asarray(fg))
+
+
+def test_blockhash_grouped_training_converges():
+    """End-to-end: the grouped encode trains through train_step."""
+    from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
+    from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+    from indoor_nerf_tpu.models.field import FieldConfig
+    from indoor_nerf_tpu.render.renderer import RenderConfig
+    from indoor_nerf_tpu.train.step import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    scene = make_synthetic_scene(n_views=8, H=40, W=40)
+    bg = BlockHashConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=8, log2_rows=7, base_resolution=16, finest_resolution=128,
+        scatter_dtype="bfloat16",
+        ray_groups=(4, 4, 4, 4, 2, 2, 1, 1),
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=24, white_bkgd=True)
+    cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
+                      n_rand=512, lrate=0.01, tv_loss_weight=0.0)
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], cfg.n_rand,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+    key = jax.random.PRNGKey(1)
+    last = None
+    for i in range(220):
+        key, sub = jax.random.split(key)
+        batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+        state, metrics = step_fn(state, batch, sub)
+        last = float(metrics["psnr"])
+    assert np.isfinite(last)
+    assert last > 17.0, last
