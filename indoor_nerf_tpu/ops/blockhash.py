@@ -138,21 +138,22 @@ class BlockHashConfig:
     # (occupancy refresh) always use the full encode.
     ray_strides: Optional[Tuple[int, ...]] = None
     # Per-level sample-GROUP sizes (len == n_levels; None = off). Level l
-    # with group size G > 1 gathers ONE tile row per G consecutive samples
-    # along each ray (the partition block of the group's middle sample)
-    # and interpolates every sample EXACTLY within that shared 64/125-
-    # vertex tile; the backward group-sums the per-sample cotangents
-    # before the scatter — G-fold fewer rows in BOTH the transaction-
-    # bound forward gather (~90M rows/s) and the backward scatter.
-    # Unlike ray_strides this is NOT a decimation: whenever the group's
-    # samples share the anchor's partition block (the measured common
-    # case at coarse levels — mean same-block runs of 8/6/5 samples,
-    # BENCH_NOTES.md), the features are bit-identical to the ungrouped
-    # encode; samples that fall outside the anchor block clamp to the
-    # tile edge (a boundary-extrapolation approximation at those samples
-    # only). Group sizes must be constant within a contiguous level run
-    # and divide the sample count; classes that don't divide S fall back
-    # to the ungrouped encode.
+    # with group size G > 1 merges each G consecutive samples' BACKWARD
+    # cotangent rows into one row of the group's anchor tile (the
+    # partition block of the group's middle sample) before the scatter —
+    # G-fold fewer rows in the row-transaction-bound backward scatter.
+    # The FORWARD is always the exact per-sample encode (grouping the
+    # gather measured slower: consecutive same-row fetches are already
+    # coalesced, tpu_probe_grouped_4422.json). Unlike ray_strides this
+    # never changes the features: whenever the group's samples share the
+    # anchor's partition block (the measured common case at coarse
+    # levels — mean same-block runs of 8/6/5 samples, BENCH_NOTES.md)
+    # the merged gradient rows are exactly the per-sample scatter;
+    # otherwise the group's gradient mass lands in the anchor tile with
+    # edge-clamped tent weights (an attribution approximation only).
+    # Group sizes must be constant within a contiguous level run and
+    # divide the sample count; classes that don't divide S fall back to
+    # the ungrouped encode.
     ray_groups: Optional[Tuple[int, ...]] = None
 
     @property
@@ -405,14 +406,15 @@ def _encode_fused_fwd(table, x, config, levels=None):
     return out, (flat_row, p)
 
 
-def _encode_fused_bwd(config, levels, res, g):
-    flat_row, p = res
-    dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
-          else jnp.float32)
-    # Build cot[m, f*lpf + v] = g[m, f] * tent(m, v) as ONE lane-decoded
-    # elementwise expression over [M, F*lpf] (no per-feature slices +
-    # concat: the concat is a full extra copy of the ~GB cotangent that
-    # XLA cannot fuse into the scatter operand; this form fuses).
+def _cot_rows(p: jnp.ndarray, g: jnp.ndarray,
+              config: BlockHashConfig) -> jnp.ndarray:
+    """Per-sample cotangent rows ``cot[m, f*lpf + v] = g[m, f] * tent(m, v)``.
+
+    ONE lane-decoded elementwise expression over [M, F*lpf] (no
+    per-feature slices + concat: the concat is a full extra copy of the
+    ~GB cotangent that XLA cannot fuse into the scatter operand; this
+    form fuses). Returns f32 — callers cast to scatter_dtype AFTER any
+    group reduction."""
     m, F = g.shape
     lpf = config.lanes_per_feature
     side = config.side
@@ -428,36 +430,65 @@ def _encode_fused_bwd(config, levels, res, g):
     g_sel = jnp.zeros((m, F * lpf), jnp.float32)
     for f in range(F):
         g_sel = jnp.where(feat == f, g[:, f : f + 1], g_sel)
-    cot = (g_sel * tx * ty * tz).astype(dt)  # [M, F*lpf]
-    shape = (
-        config.n_levels * config.rows_per_level,
-        config.n_features_per_level * config.lanes_per_feature,
-    )
+    return g_sel * tx * ty * tz
+
+
+def _scatter_cot(cot: jnp.ndarray, flat_row: jnp.ndarray, n_levels: int,
+                 level0: int, config: BlockHashConfig) -> jnp.ndarray:
+    """Scatter-accumulate cotangent rows into the FULL-grid table gradient.
+
+    cot ``[M, W]`` (already in scatter_dtype), flat_row ``[M]`` global row
+    ids targeting the contiguous level window [level0, level0+n_levels).
+    Uses the Pallas VMEM-accumulation kernel when supported (f32 VMEM
+    accumulation — a precision upgrade over the bf16 accumulation of the
+    XLA path at scatter_dtype=bfloat16; the cotangent rows still move in
+    scatter_dtype); XLA scatter-add otherwise. Returns f32
+    ``[config.n_levels * R, W]``."""
+    R = config.rows_per_level
+    W = cot.shape[1]
     use_kernel = False
-    if USE_PALLAS_SCATTER and levels is None:
+    if USE_PALLAS_SCATTER:
         from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
         from indoor_nerf_tpu.ops.pallas.table_scatter import supports
 
         on_tpu = _on_tpu()
         use_kernel = (on_tpu or _FORCE_PALLAS_SCATTER_INTERPRET) and supports(
-            config.n_levels, config.rows_per_level, shape[1],
-            flat_row.shape[0],
-        )
+            n_levels, R, W, cot.shape[0])
     if use_kernel:
         from indoor_nerf_tpu.ops.pallas.table_scatter import (
             scatter_add_table,
         )
 
-        # f32 VMEM accumulation (a precision upgrade over the bf16
-        # accumulation of the XLA path at scatter_dtype=bfloat16); the
-        # cotangent rows still move in `dt`.
-        grad_table = scatter_add_table(
-            cot, flat_row, config.n_levels, config.rows_per_level,
+        sub = scatter_add_table(
+            cot, flat_row, n_levels, R,
             interpret=not on_tpu,
             chunk=PALLAS_SCATTER_CHUNK,
             acc_dtype=PALLAS_SCATTER_ACC,
+            level0=level0,
         )
+        if n_levels == config.n_levels:
+            return sub
+        return jnp.pad(
+            sub,
+            ((level0 * R, (config.n_levels - level0 - n_levels) * R),
+             (0, 0)))
+    shape = (config.n_levels * R, W)
+    return jnp.zeros(shape, cot.dtype).at[flat_row].add(cot).astype(
+        jnp.float32)
+
+
+def _encode_fused_bwd(config, levels, res, g):
+    flat_row, p = res
+    dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
+          else jnp.float32)
+    cot = _cot_rows(p, g, config).astype(dt)  # [M, F*lpf]
+    lv = (tuple(range(config.n_levels)) if levels is None
+          else tuple(int(l) for l in levels))
+    contiguous = all(lv[i + 1] == lv[i] + 1 for i in range(len(lv) - 1))
+    if contiguous:
+        grad_table = _scatter_cot(cot, flat_row, len(lv), lv[0], config)
     else:
+        shape = (config.n_levels * config.rows_per_level, cot.shape[1])
         grad_table = (
             jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
         )
@@ -642,112 +673,97 @@ def _grouped_coords(
     return flat_row, p
 
 
-def _grouped_gather_interp(
-    table: jnp.ndarray, flat_row: jnp.ndarray, p: jnp.ndarray,
-    config: BlockHashConfig,
-) -> jnp.ndarray:
-    """Gather one row per group, tent-interp every sample within it.
+def _grouped_classes(
+    config: BlockHashConfig, S: int,
+) -> Tuple[Tuple[int, Tuple[int, ...]], ...]:
+    """Partition levels into contiguous runs of equal backward group size.
 
-    Returns ``[Rn, S, L*F]`` (level-major, feature-minor — the
-    block_hash_encode feature layout)."""
-    Rn, SG, G, L, _ = p.shape
-    lpf = config.lanes_per_feature
-    F = config.n_features_per_level
-    rows = _gather_rows(table, flat_row, config)  # [Rn*SG*L, F*lpf]
-    w = _tent_weights(p.reshape(-1, 3), config.side, lpf)
-    w = w.reshape(Rn, SG, G, L, lpf)
-    rows = rows.reshape(Rn, SG, 1, L, F * lpf)
-    outs = [
-        jnp.sum(rows[..., f * lpf:(f + 1) * lpf] * w, axis=-1)
-        for f in range(F)
-    ]  # each [Rn, SG, G, L]
-    feats = jnp.stack(outs, axis=-1)  # [Rn, SG, G, L, F]
-    return feats.reshape(Rn, SG * G, L * F)
+    Returns ``((G, (levels...)), ...)`` in level order. Group sizes that
+    do not divide the sample count S demote to 1 (exact per-sample
+    scatter for those levels)."""
+    groups_cfg = config.ray_groups
+    assert groups_cfg is not None and len(groups_cfg) == config.n_levels
+    classes = []
+    for l, gsz in enumerate(groups_cfg):
+        g = int(gsz) if (gsz > 1 and S % int(gsz) == 0) else 1
+        if classes and classes[-1][0] == g:
+            classes[-1][1].append(l)
+        else:
+            classes.append([g, [l]])
+    return tuple((g, tuple(lv)) for g, lv in classes)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _encode_grouped_fused(
     table: jnp.ndarray, x3: jnp.ndarray, config: BlockHashConfig,
-    levels: Tuple[int, ...], G: int,
+    classes: Tuple[Tuple[int, Tuple[int, ...]], ...],
 ) -> jnp.ndarray:
-    """Grouped encode with the fused low-precision backward.
+    """Exact full-grid forward + GROUP-MERGED backward scatters.
 
-    Backward forms per-sample cotangent rows, GROUP-SUMS them (static
+    Forward is ONE plain exact per-sample encode over ALL levels — the
+    identical XLA program to block_hash_encode (grouping never changes
+    the features, and splitting the forward into per-class encodes
+    measured 2.4x slower: 52.3 vs 21.9 ms, tpu_probe_grouped_hybrid.json
+    — narrow per-class outputs force relayouts and the single wide
+    gather is already coalescing coarse-level repeat fetches). Backward
+    walks the level classes: a G>1 class forms per-sample cotangent rows
+    in the GROUP ANCHOR tile's coordinates, group-sums them (a static
     reshape-reduce — free VPU work), and scatter-accumulates 1/G as many
-    rows via the Pallas VMEM kernel (contiguous level subsets use the
-    kernel's `level0` window). Gradient w.r.t. the points is ZERO
-    (BlockHashConfig.scatter_dtype note)."""
-    flat_row, p = _grouped_coords(x3, config, levels, G)
-    return _grouped_gather_interp(table, flat_row, p, config)
+    rows via the Pallas VMEM kernel's `level0` window; a G==1 class
+    scatters per-sample rows exactly. When every sample of a group lands
+    in the anchor's partition block (the measured common case at coarse
+    levels) the merged rows equal the exact per-sample scatter;
+    otherwise the group's gradient mass is attributed to the anchor tile
+    with edge-clamped tent weights — an approximation in WHERE the
+    gradient lands, never in the features. Rationale: the backward
+    scatter is purely row-transaction bound (time tracks row count at
+    fixed bytes, tpu_probe_grouped_4422.json) while the forward gather
+    is NOT, so grouping applies only where rows are the wall. Gradient
+    w.r.t. the points is ZERO (BlockHashConfig.scatter_dtype note)."""
+    Rn, S, _ = x3.shape
+    flat_row, p, _ = _tile_coords(x3.reshape(-1, 3), config, None)
+    out = _gather_interp(table, flat_row, p, config)
+    return out.reshape(Rn, S, config.n_levels * config.n_features_per_level)
 
 
-def _encode_grouped_fused_fwd(table, x3, config, levels, G):
-    flat_row, p = _grouped_coords(x3, config, levels, G)
-    return _grouped_gather_interp(table, flat_row, p, config), (flat_row, p)
+def _encode_grouped_fused_fwd(table, x3, config, classes):
+    # Residual is just the points: per-class coords are recomputed in the
+    # backward (cheap VPU math from 2.4 MB of x3 vs storing ~50 MB of
+    # per-class row ids + in-tile positions).
+    return _encode_grouped_fused(table, x3, config, classes), x3
 
 
-def _encode_grouped_fused_bwd(config, levels, G, res, g):
-    flat_row, p = res
-    Rn, SG, Gd, L, _ = p.shape
+def _encode_grouped_fused_bwd(config, classes, x3, g):
+    Rn, S, _ = x3.shape
     F = config.n_features_per_level
-    lpf = config.lanes_per_feature
-    side = config.side
-    W = F * lpf
-    R = config.rows_per_level
     dt = (jnp.bfloat16 if config.scatter_dtype == "bfloat16"
           else jnp.float32)
 
-    # Per-sample cotangent rows (f32), then the group-sum — the reduce
-    # happens BEFORE the precision cast so G-member sums keep f32.
-    pf = p.reshape(-1, 3)
-    m = pf.shape[0]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (m, W), 1)
-    v = lane % lpf
-    lx = (v // (side * side)).astype(jnp.float32)
-    ly = ((v // side) % side).astype(jnp.float32)
-    lz = (v % side).astype(jnp.float32)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - pf[:, 0:1]))
-    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - pf[:, 1:2]))
-    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pf[:, 2:3]))
-    feat = lane // lpf
-    gg = g.reshape(Rn, SG, Gd, L, F).reshape(m, F)
-    g_sel = jnp.zeros((m, W), jnp.float32)
-    for f in range(F):
-        g_sel = jnp.where(feat == f, gg[:, f:f + 1], g_sel)
-    cot_s = g_sel * tx * ty * tz  # [m, W] per-sample
-    cot = cot_s.reshape(Rn, SG, Gd, L, W).sum(axis=2)  # group-sum
-    cot = cot.reshape(Rn * SG * L, W).astype(dt)
-
-    lv = tuple(int(l) for l in levels)
-    contiguous = all(lv[i + 1] == lv[i] + 1 for i in range(len(lv) - 1))
-    shape = (config.n_levels * R, W)
-    use_kernel = False
-    if USE_PALLAS_SCATTER and contiguous:
-        from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
-        from indoor_nerf_tpu.ops.pallas.table_scatter import supports
-
-        on_tpu = _on_tpu()
-        use_kernel = (on_tpu or _FORCE_PALLAS_SCATTER_INTERPRET) and supports(
-            L, R, W, cot.shape[0])
-    if use_kernel:
-        from indoor_nerf_tpu.ops.pallas.table_scatter import (
-            scatter_add_table,
-        )
-
-        sub = scatter_add_table(
-            cot, flat_row, L, R,
-            interpret=not on_tpu,
-            chunk=PALLAS_SCATTER_CHUNK,
-            acc_dtype=PALLAS_SCATTER_ACC,
-            level0=lv[0],
-        )
-        grad_table = jnp.pad(
-            sub, ((lv[0] * R, (config.n_levels - lv[0] - L) * R), (0, 0)))
-    else:
-        grad_table = (
-            jnp.zeros(shape, dt).at[flat_row].add(cot).astype(jnp.float32)
-        )
-    dx = jnp.zeros((Rn, SG * Gd, 3), jnp.float32)
+    grad_table = None
+    for G, lv in classes:
+        Lc = len(lv)
+        c0 = lv[0]
+        g_c = g[..., c0 * F:(c0 + Lc) * F]  # [Rn, S, Lc*F] level-major
+        if G == 1:
+            flat_row, p, _ = _tile_coords(x3.reshape(-1, 3), config, lv)
+            cot = _cot_rows(
+                p, g_c.reshape(-1, Lc, F).reshape(-1, F), config
+            ).astype(dt)
+        else:
+            flat_row, p = _grouped_coords(x3, config, lv, G)
+            SG = S // G
+            # Per-sample cotangent rows in ANCHOR-tile coordinates (f32),
+            # then the group-sum — the reduce happens BEFORE the
+            # precision cast so G-member sums keep f32.
+            cot_s = _cot_rows(
+                p.reshape(-1, 3),
+                g_c.reshape(Rn, SG, G, Lc, F).reshape(-1, F), config)
+            W = cot_s.shape[1]
+            cot = (cot_s.reshape(Rn, SG, G, Lc, W).sum(axis=2)
+                   .reshape(Rn * SG * Lc, W).astype(dt))
+        g_cls = _scatter_cot(cot, flat_row, Lc, c0, config)
+        grad_table = g_cls if grad_table is None else grad_table + g_cls
+    dx = jnp.zeros((Rn, S, 3), jnp.float32)
     return grad_table, dx
 
 
@@ -761,39 +777,22 @@ def block_hash_encode_grouped(
     """Ray-structured encode ``[Rn, S, 3] -> ([Rn, S, L*F], keep [Rn, S])``
     honoring ``config.ray_groups``.
 
-    Levels are processed in contiguous classes of equal group size; G > 1
-    classes share one gathered tile row per G consecutive samples (exact
-    while the group stays inside the anchor's partition block — the
-    measured common case at coarse levels; clamped at block edges
-    otherwise). A class whose G does not divide S falls back to the
-    ungrouped encode for those levels.
+    Features are ALWAYS the exact per-sample encode (one full-grid
+    program — identical to block_hash_encode); grouping only merges each
+    group of G consecutive samples' backward cotangent rows into one
+    anchor-tile row before the transaction-bound scatter (exact while
+    the group stays inside the anchor's partition block — the measured
+    common case at coarse levels; anchor-attributed with edge-clamped
+    weights otherwise). Group sizes that do not divide S demote to exact
+    per-sample scatters for those levels.
     """
     Rn, S, _ = pts.shape
-    groups_cfg = config.ray_groups
-    assert groups_cfg is not None and len(groups_cfg) == config.n_levels
-
     box_min = jnp.asarray(config.bbox_min, jnp.float32)
     box_max = jnp.asarray(config.bbox_max, jnp.float32)
     keep = jnp.all((pts >= box_min) & (pts <= box_max), axis=-1)  # [Rn, S]
 
-    classes = []  # contiguous equal-G level runs, in level order
-    for l, gsz in enumerate(groups_cfg):
-        if classes and classes[-1][0] == gsz:
-            classes[-1][1].append(l)
-        else:
-            classes.append([int(gsz), [l]])
-
-    outs = []
-    for gsz, lv in classes:
-        lv_t = tuple(lv)
-        if gsz <= 1 or S % gsz != 0:
-            f, _ = block_hash_encode(
-                pts.reshape(-1, 3), table, config, levels=lv_t)
-            outs.append(f.reshape(Rn, S, -1))
-        elif (config.scatter_dtype == "bfloat16"
-              or config.gather_dtype == "int8"):
-            outs.append(_encode_grouped_fused(table, pts, config, lv_t, gsz))
-        else:
-            flat_row, p = _grouped_coords(pts, config, lv_t, gsz)
-            outs.append(_grouped_gather_interp(table, flat_row, p, config))
-    return jnp.concatenate(outs, axis=-1), keep
+    classes = _grouped_classes(config, S)
+    if all(g == 1 for g, _ in classes):
+        f, _ = block_hash_encode(pts.reshape(-1, 3), table, config)
+        return f.reshape(Rn, S, -1), keep
+    return _encode_grouped_fused(table, pts, config, classes), keep

@@ -163,16 +163,17 @@ def build_parser() -> argparse.ArgumentParser:
              "gradients (bf16 scatter backward); the table master and "
              "optimizer stay f32 in all modes")
     add("--ray_groups", type=str, default=None,
-        help="block-hash sample grouping (i_embed 3): comma list of "
+        help="block-hash gradient grouping (i_embed 3): comma list of "
              "per-level group sizes, coarsest first (e.g. "
              "'4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1'). Levels with group G>1 "
-             "gather ONE tile row per G consecutive samples along each "
-             "ray and tent-interpolate every sample exactly within the "
-             "shared tile — G-fold fewer rows in the transaction-bound "
-             "encode gather AND backward scatter. Exact while a group "
-             "stays inside one partition block (the common case at "
-             "coarse levels); clamps at block edges otherwise. Mutually "
-             "exclusive with --ray_strides")
+             "merge each G consecutive samples' backward cotangent rows "
+             "into one anchor-tile row before the scatter — G-fold fewer "
+             "rows in the row-transaction-bound encode backward. The "
+             "forward features are always exact; the merge is exact "
+             "while a group stays inside one partition block (the "
+             "common case at coarse levels) and an anchor-attribution "
+             "approximation otherwise. Mutually exclusive with "
+             "--ray_strides")
     add("--ray_strides", type=str, default=None,
         help="block-hash ray-axis decimation (i_embed 3): comma list of "
              "per-level strides, coarsest first (e.g. "

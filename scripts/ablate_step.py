@@ -45,6 +45,15 @@ def main():
     ap.add_argument("--ray_strides", type=str, default=None,
                     help="per-level ray-axis strides, comma list "
                          "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
+    ap.add_argument("--ray_groups", type=str, default=None,
+                    help="per-level sample-group sizes, comma list "
+                         "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1) — "
+                         "shared-tile exact grouping (blockhash.py)")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list of timing names to run (e.g. "
+                         "full_train_step) — each compile through the "
+                         "axon tunnel is minutes, so sweeps should time "
+                         "one program per process")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +95,8 @@ def main():
         block_size=args.block_size,
         ray_strides=(tuple(int(v) for v in args.ray_strides.split(","))
                      if args.ray_strides else None),
+        ray_groups=(tuple(int(v) for v in args.ray_groups.split(","))
+                    if args.ray_groups else None),
         **io,
     )
     occupancy = OccupancyConfig(
@@ -119,8 +130,12 @@ def main():
     n_steps = args.steps
     results = {}
 
+    only = set(args.only.split(",")) if args.only else None
+
     def timed(name, make_program, *operands):
         """make_program(*operands) -> scalar-returning jitted fn; scan-looped."""
+        if only is not None and name not in only:
+            return
         fn = make_program(*operands)
         out = fn(*operands)
         float(out)  # compile + drain

@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--ray_strides", type=str, default=None,
                     help="per-level ray-axis strides, comma list "
                          "(e.g. 4,4,4,4,2,2,2,2,1,1,1,1,1,1,1,1)")
+    ap.add_argument("--ray_groups", type=str, default=None,
+                    help="per-level sample-group sizes, comma list — "
+                         "shared-tile exact grouping (blockhash.py)")
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--eval_every", type=int, default=100,
@@ -82,6 +85,8 @@ def main():
             block_size=args.block_size,
             ray_strides=(tuple(int(v) for v in args.ray_strides.split(","))
                          if args.ray_strides else None),
+            ray_groups=(tuple(int(v) for v in args.ray_groups.split(","))
+                        if args.ray_groups else None),
         )
     occupancy = None
     n_importance = args.n_importance

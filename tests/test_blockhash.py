@@ -449,17 +449,14 @@ def test_block_encode_grouped_identical_samples_exact(rng):
         rtol=0, atol=1e-7)
 
 
-def test_block_encode_grouped_exact_where_block_shared(rng):
-    """On realistic sorted ray samples, every (group, level) whose samples
-    all fall in the anchor's partition block reproduces the plain encode
-    exactly; clamped groups stay finite."""
+def test_block_encode_grouped_forward_exact(rng):
+    """The grouped FORWARD is the exact per-sample encode on ANY input —
+    grouping only changes where backward gradient rows land (see
+    _encode_grouped_fused); features must match the plain encode
+    bit-for-bit even when groups straddle partition blocks."""
     import dataclasses
 
-    from indoor_nerf_tpu.ops.blockhash import (
-        _stagger,
-        block_hash_encode_grouped,
-    )
-    from indoor_nerf_tpu.ops.encoding import level_resolutions
+    from indoor_nerf_tpu.ops.blockhash import block_hash_encode_grouped
 
     G = 4
     Rn, S = 12, 16
@@ -469,35 +466,17 @@ def test_block_encode_grouped_exact_where_block_shared(rng):
 
     f0, _ = block_hash_encode(pts.reshape(-1, 3), table, CFG)
     fg, _ = block_hash_encode_grouped(pts, table, cfg)
-    f0 = np.asarray(f0).reshape(Rn, S // G, G, CFG.n_levels, 2)
-    fg2 = np.asarray(fg).reshape(Rn, S // G, G, CFG.n_levels, 2)
-    assert np.all(np.isfinite(fg2))
-
-    # Same-block mask per (ray, group, level), replicating _grouped_coords.
-    res = np.asarray(level_resolutions(cfg.as_hash_grid()))
-    x = np.asarray(pts)
-    bmin, bmax = np.array(cfg.bbox_min), np.array(cfg.bbox_max)
-    xc = np.clip(x, bmin, bmax)
-    stag = _stagger(cfg.n_levels, cfg.block_size)
-    shared = np.zeros((Rn, S // G, cfg.n_levels), bool)
-    for l in range(cfg.n_levels):
-        gs = (bmax - bmin) / res[l]
-        v0 = np.floor((xc - bmin) / gs).astype(np.int64) + stag[l]
-        blk = v0.reshape(Rn, S // G, G, 3)
-        anchor = blk[:, :, G // 2] // cfg.block_size
-        ok = (blk // cfg.block_size == anchor[:, :, None]).all(axis=(2, 3))
-        shared[:, :, l] = ok
-    assert shared.mean() > 0.3, "test scene too hard: no shared groups"
-    m = shared[:, :, None, :, None]
-    np.testing.assert_allclose(
-        np.where(m, fg2, 0.0), np.where(m, f0, 0.0), rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(f0).reshape(Rn, S, -1), np.asarray(fg))
 
 
 @pytest.mark.parametrize("force_kernel", [False, True])
 def test_block_encode_grouped_fused_backward(rng, force_kernel):
-    """Grouped fused bf16 backward (incl. the Pallas level0-subset kernel
-    in interpreter mode): forward bit-identical to the f32 grouped path,
-    table gradient close to the f32 autodiff transpose, zero dx."""
+    """Grouped fused backward (incl. the Pallas level0-subset kernel in
+    interpreter mode): forward bit-identical to the plain encode; on
+    groups of identical samples (every group trivially shares its anchor
+    block) the f32 grouped table gradient equals the UNGROUPED XLA
+    autodiff transpose; bf16 grouped grad is close to f32; zero dx."""
     import dataclasses
 
     from indoor_nerf_tpu.ops import blockhash as bh
@@ -507,23 +486,35 @@ def test_block_encode_grouped_fused_backward(rng, force_kernel):
     cfg32 = dataclasses.replace(CFG, ray_groups=groups)
     cfg16 = dataclasses.replace(cfg32, scatter_dtype="bfloat16")
     table = init_block_table(jax.random.PRNGKey(0), CFG) * 1e4
-    pts = _ray_pts(rng, 24, 8)
+    base = rng.uniform(-0.9, 0.9, size=(24, 4, 3))
+    pts = jnp.asarray(np.repeat(base, G, axis=1), jnp.float32)  # [24, 8, 3]
 
     f32v, _ = bh.block_hash_encode_grouped(pts, table, cfg32)
+    f0, _ = block_hash_encode(pts.reshape(-1, 3), table, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(f0).reshape(24, 8, -1), np.asarray(f32v))
+
     old = bh._FORCE_PALLAS_SCATTER_INTERPRET
     bh._FORCE_PALLAS_SCATTER_INTERPRET = force_kernel
     try:
         f16v, _ = bh.block_hash_encode_grouped(pts, table, cfg16)
         np.testing.assert_array_equal(np.asarray(f32v), np.asarray(f16v))
 
-        def loss(t, cfg):
+        def loss_grouped(t, cfg):
             f, _ = bh.block_hash_encode_grouped(pts, t, cfg)
             return jnp.sum(f ** 2)
 
-        g32 = jax.grad(lambda t: loss(t, cfg32))(table)
-        g16 = jax.grad(lambda t: loss(t, cfg16))(table)
+        def loss_plain(t):
+            f, _ = block_hash_encode(pts.reshape(-1, 3), t, CFG)
+            return jnp.sum(f ** 2)
+
+        g32 = jax.grad(lambda t: loss_grouped(t, cfg32))(table)
+        g16 = jax.grad(lambda t: loss_grouped(t, cfg16))(table)
+        g_ref = jax.grad(loss_plain)(table)  # ungrouped autodiff transpose
     finally:
         bh._FORCE_PALLAS_SCATTER_INTERPRET = old
+    rel_ref = float(jnp.linalg.norm(g32 - g_ref) / jnp.linalg.norm(g_ref))
+    assert rel_ref < 1e-5, rel_ref
     rel = float(jnp.linalg.norm(g16 - g32) / jnp.linalg.norm(g32))
     assert rel < 0.02, rel
     assert g16.dtype == jnp.float32
