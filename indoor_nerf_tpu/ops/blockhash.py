@@ -754,13 +754,18 @@ def _encode_grouped_fused_bwd(config, classes, x3, g):
             SG = S // G
             # Per-sample cotangent rows in ANCHOR-tile coordinates (f32),
             # then the group-sum — the reduce happens BEFORE the
-            # precision cast so G-member sums keep f32.
+            # precision cast so G-member sums keep f32. Transpose the
+            # NARROW inputs to (ray, group, level, member) first so group
+            # members are CONTIGUOUS rows of the wide [*, W] cotangent
+            # and the reduce is a dense segmented sum, not a stride-L
+            # sublane gather over a 1.6 GB intermediate.
+            pt = p.transpose(0, 1, 3, 2, 4)  # [Rn, SG, Lc, G, 3]
+            gt_ = g_c.reshape(Rn, SG, G, Lc, F).transpose(0, 1, 3, 2, 4)
             cot_s = _cot_rows(
-                p.reshape(-1, 3),
-                g_c.reshape(Rn, SG, G, Lc, F).reshape(-1, F), config)
+                pt.reshape(-1, 3), gt_.reshape(-1, F), config)
             W = cot_s.shape[1]
-            cot = (cot_s.reshape(Rn, SG, G, Lc, W).sum(axis=2)
-                   .reshape(Rn * SG * Lc, W).astype(dt))
+            cot = (cot_s.reshape(Rn * SG * Lc, G, W).sum(axis=1)
+                   .astype(dt))
         g_cls = _scatter_cot(cot, flat_row, Lc, c0, config)
         grad_table = g_cls if grad_table is None else grad_table + g_cls
     dx = jnp.zeros((Rn, S, 3), jnp.float32)

@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--n_rand", type=int, default=4096)
     ap.add_argument("--n_samples", type=int, default=48)
     ap.add_argument("--fwd_only", action="store_true")
+    ap.add_argument("--skip_coords", action="store_true")
     ap.add_argument("--bwd_parts", action="store_true",
                     help="time grouped-backward constituents (coords "
                          "recompute / cot+group-sum / scatters) instead")
@@ -119,7 +120,8 @@ def main():
                 body, (jnp.zeros(()), p), None, length=n_steps)
             return acc
 
-        timed("bwd_coords_recompute", run_coords, pts)
+        if not args.skip_coords:
+            timed("bwd_coords_recompute", run_coords, pts)
 
         # Precompute coords + per-class cotangents once; time scatters only.
         g_full = jnp.asarray(
