@@ -159,3 +159,62 @@ def test_render_only(tmp_path):
     assert rdirs
     assert glob.glob(os.path.join(rdirs[0], "video.*"))
     assert glob.glob(os.path.join(rdirs[0], "0*.png"))
+
+
+@pytest.mark.nightly
+def test_every_config_preset_trains_one_step(tmp_path):
+    """Every shipped configs/*.txt drives a REAL train step.
+
+    Each preset is parsed with the actual configargparse path, its
+    dataset swapped for the built-in synthetic scene and its size
+    fields shrunk (structural flags — encoder, occupancy, hierarchy,
+    priors, quantization, view-dependence — keep the preset's values),
+    then one jitted step must run finite through the full driver.
+    Presets sharing a jit-relevant structural signature share one run.
+    Reference anchor: the 21 configs/*.txt of PocketNeRF/configs plus
+    the *_tpu.txt flagship twins."""
+    from indoor_nerf_tpu.train.trainer import train
+
+    shrink = [
+        "--dataset_type", "synthetic",
+        "--basedir", str(tmp_path),
+        "--N_rand", "64",
+        "--N_samples", "8",
+        "--finest_res", "32",
+        "--log2_hashmap_size", "10",
+        "--n_iters", "2",
+        "--i_print", "1",
+        "--i_weights", "100000",
+        "--i_testset", "100000",
+        "--i_video", "100000",
+        "--no_reload",
+    ]
+    seen = {}
+    for path in sorted(glob.glob("configs/*.txt")):
+        a = parse_args(["--config", path] + shrink)
+        if a.N_importance:
+            a.N_importance = 8
+        if getattr(a, "occ_samples", None):
+            a.occ_samples = 8
+        sig = (
+            a.i_embed, bool(a.N_importance), a.use_viewdirs,
+            a.use_occupancy, getattr(a, "block_size", None),
+            getattr(a, "block_io", None),
+            a.use_structural_priors, a.use_quantization,
+            getattr(a, "use_acaq", False), a.white_bkgd,
+            a.netdepth, a.netwidth,
+        )
+        seen.setdefault(sig, path)
+    assert len(seen) >= 3, "signature dedup collapsed too far"
+    for sig, path in sorted(seen.items(), key=lambda kv: kv[1]):
+        a = parse_args(["--config", path] + shrink)
+        if a.N_importance:
+            a.N_importance = 8
+        if getattr(a, "occ_samples", None):
+            a.occ_samples = 8
+        a.expname = "cfg_" + os.path.basename(path)[:-4]
+        if a.use_structural_priors:
+            a.structural_loss_start_iter = 1
+        result = train(a)
+        ips = result["iterations_per_second"]
+        assert ips and np.all(np.isfinite(ips)), path
