@@ -128,7 +128,8 @@ def occupancy_z_vals(
     w = jnp.where(step < config.warmup_steps, jnp.ones_like(w), w)
 
     z_mid = 0.5 * (z_cand[..., 1:] + z_cand[..., :-1])
-    z = sample_pdf(
+    # Sorted by construction: sample_pdf draws sorted (stratified) u and
+    # the inverse CDF is monotone — no lane sort needed.
+    return sample_pdf(
         k_pdf, z_mid, w[..., 1:-1], n_samples, det=(perturb == 0.0)
     )
-    return jnp.sort(z, axis=-1)

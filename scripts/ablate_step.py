@@ -308,6 +308,49 @@ def main():
 
     timed("render_fwd_only", make_fwd, state, batch)
 
+    # --- 3b/3c. forward sub-attribution: occupancy sampling / field query ---
+    from indoor_nerf_tpu.models.field import query_field
+    from indoor_nerf_tpu.ops.occupancy import occupancy_z_vals
+
+    def make_occ_zvals(state, batch):
+        @jax.jit
+        def run(state, batch):
+            def body(carry, k):
+                acc, ro = carry
+                z = occupancy_z_vals(
+                    k, ro, batch["rays_d"], near, far, state["occ"],
+                    occupancy, n_occ, state["step"])
+                s = jnp.sum(z)
+                return (acc + s, ro + 1e-20 * s), None
+            keys = jax.random.split(jax.random.PRNGKey(1), n_steps)
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), batch["rays_o"]), keys)
+            return acc
+        return run
+
+    timed("occ_zvals_only", make_occ_zvals, state, batch)
+
+    def make_field_query(state, batch):
+        z0 = jnp.linspace(2.0, 6.0, n_occ)[None, :, None]
+        pts3 = (batch["rays_o"][:, None, :]
+                + batch["rays_d"][:, None, :] * z0)
+
+        @jax.jit
+        def run(state, batch):
+            def body(carry, _):
+                acc, p3 = carry
+                raw, _ = query_field(
+                    state["params"], "coarse", p3, viewdirs, fc,
+                    quant_state=None, train=True, step=state["step"])
+                s = jnp.sum(raw)
+                return (acc + s, p3 + 1e-20 * s), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), pts3), None, length=n_steps)
+            return acc
+        return run
+
+    timed("field_query_fwd_only", make_field_query, state, batch)
+
     # --- 4/5. encode fwd / fwd+bwd at the step's point count ----------------
     n_pts = n_rand * n_occ
     pts = jnp.asarray(

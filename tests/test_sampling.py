@@ -82,3 +82,48 @@ def test_sample_pdf_stays_in_range(rng):
     )
     assert s.min() >= bins.min() - 1e-5
     assert s.max() <= bins.max() + 1e-5
+
+
+def test_sample_pdf_nondet_output_sorted():
+    """Stratified-jittered u is sorted by construction, so the monotone
+    inverse CDF emits sorted z — occupancy_z_vals relies on this to skip
+    its lane sort (tpu_fwd_attrib.json)."""
+    rng = np.random.default_rng(3)
+    bins = np.sort(rng.uniform(2, 6, size=(64, 63)), axis=-1)
+    weights = rng.uniform(0.1, 2.0, size=(64, 62)).astype(np.float32)
+    for seed in range(3):
+        z = np.asarray(
+            sample_pdf(
+                jax.random.PRNGKey(seed), jnp.asarray(bins, jnp.float32),
+                jnp.asarray(weights), 48, det=False,
+            )
+        )
+        assert (np.diff(z, axis=-1) >= 0).all()
+
+
+def test_occupancy_z_vals_sorted_and_in_range():
+    from indoor_nerf_tpu.ops.occupancy import (
+        OccupancyConfig,
+        init_occupancy,
+        occupancy_z_vals,
+    )
+
+    cfg = OccupancyConfig(
+        bbox_min=(-1.5,) * 3, bbox_max=(1.5,) * 3, resolution=16,
+        warmup_steps=0,
+    )
+    occ = init_occupancy(cfg)
+    occ = {**occ, "density": occ["density"] + 1.0}
+    n = 32
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    z = np.asarray(
+        occupancy_z_vals(
+            jax.random.PRNGKey(1), jnp.zeros((n, 3)),
+            jnp.asarray(d, jnp.float32), 2.0 * jnp.ones((n, 1)),
+            6.0 * jnp.ones((n, 1)), occ, cfg, 24, jnp.asarray(100),
+        )
+    )
+    assert (np.diff(z, axis=-1) >= 0).all()
+    assert (z >= 2.0 - 1e-5).all() and (z <= 6.0 + 1e-5).all()
