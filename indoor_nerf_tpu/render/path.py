@@ -71,6 +71,14 @@ def render_path(
     n_poses = len(render_poses)
     block = max(1, min(pose_block, n_poses))
 
+    def _wrap_single(single):
+        """Adapt a single-pose renderer to the [B=1] block contract."""
+        def render_block(params, c2ws, K, near, far, quant_state, occ_state):
+            out = single(params, c2ws[0], K, near, far, quant_state,
+                         occ_state)
+            return {k: v[None] for k, v in out.items()}
+        return render_block
+
     if image_renderer is not None:
         # Pre-built whole-image renderer, e.g. the baked deferred-shading
         # one (render/baked.py) for ~30x faster videos/testsets; must have
@@ -78,12 +86,14 @@ def render_path(
         # advertises pose-block support it gets [B,3,4] blocks directly.
         ib = getattr(image_renderer, "pose_block", 1)
         block = max(1, min(ib, n_poses))
-
-        def render_block(params, c2ws, K, near, far, quant_state, occ_state):
-            if ib > 1:
+        if ib > 1:
+            def render_block(params, c2ws, K, near, far, quant_state,
+                             occ_state):
                 return image_renderer(c2ws, K, near, far)
-            out = image_renderer(c2ws[0], K, near, far)
-            return {k: v[None] for k, v in out.items()}
+        else:
+            render_block = _wrap_single(
+                lambda params, c2w, K, nr, fr, qs, os_:
+                image_renderer(c2w, K, nr, fr))
 
     elif mesh is not None and mesh.devices.size > 1:
         from indoor_nerf_tpu.parallel.sp import make_sharded_image_renderer
@@ -96,10 +106,7 @@ def render_path(
             data_axis=mesh.axis_names[0], tile_rays=tile,
         )
         block = 1
-
-        def render_block(params, c2ws, K, near, far, quant_state, occ_state):
-            out = single(params, c2ws[0], K, near, far, quant_state, occ_state)
-            return {k: v[None] for k, v in out.items()}
+        render_block = _wrap_single(single)
 
     else:
         from indoor_nerf_tpu.render.renderer import make_pose_block_renderer
@@ -109,13 +116,8 @@ def render_path(
                 config, int(H), int(W), block, tile_rays
             )
         else:
-            single = make_image_renderer(config, int(H), int(W), tile_rays)
-
-            def render_block(params, c2ws, K, near, far, quant_state,
-                             occ_state):
-                out = single(params, c2ws[0], K, near, far, quant_state,
-                             occ_state)
-                return {k: v[None] for k, v in out.items()}
+            render_block = _wrap_single(
+                make_image_renderer(config, int(H), int(W), tile_rays))
 
     rgbs, depths, psnrs = [], [], []
     t = time.time()
@@ -136,27 +138,27 @@ def render_path(
             rgbs.append(rgb)
             depths.append(depth)
 
-        if gt_imgs is not None and render_factor == 0:
-            gt = np.asarray(gt_imgs[i])
-            p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
-            print(p)
-            psnrs.append(float(p))
+            if gt_imgs is not None and render_factor == 0:
+                gt = np.asarray(gt_imgs[i])
+                p = -10.0 * np.log10(np.mean(np.square(rgb - gt)))
+                print(p)
+                psnrs.append(float(p))
 
-        if savedir is not None and save_figures:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
+            if savedir is not None and save_figures:
+                import matplotlib
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
 
-            fig = plt.figure(figsize=(25, 15))
-            ax = fig.add_subplot(1, 2, 1)
-            ax.imshow(to8b(rgbs[-1]))
-            ax.axis("off")
-            ax = fig.add_subplot(1, 2, 2)
-            ax.imshow(depths[-1], cmap="plasma", vmin=0, vmax=1)
-            ax.axis("off")
-            filename = os.path.join(savedir, "{:03d}.png".format(i))
-            plt.savefig(filename, bbox_inches="tight", pad_inches=0)
-            plt.close(fig)
+                fig = plt.figure(figsize=(25, 15))
+                ax = fig.add_subplot(1, 2, 1)
+                ax.imshow(to8b(rgb))
+                ax.axis("off")
+                ax = fig.add_subplot(1, 2, 2)
+                ax.imshow(depth, cmap="plasma", vmin=0, vmax=1)
+                ax.axis("off")
+                filename = os.path.join(savedir, "{:03d}.png".format(i))
+                plt.savefig(filename, bbox_inches="tight", pad_inches=0)
+                plt.close(fig)
 
     rgbs = np.stack(rgbs, 0)
     depths = np.stack(depths, 0)

@@ -213,9 +213,6 @@ def _prepare_rays(
     return rays_o, rays_d, viewdirs, near_a, far_a
 
 
-@functools.partial(
-    jax.jit, static_argnames=("config", "H", "W", "tile_rays")
-)
 def _render_image_jit(
     params: Dict[str, Any],
     c2w: jnp.ndarray,
@@ -230,58 +227,13 @@ def _render_image_jit(
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
     c2w_staticcam: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
-    rays_o, rays_d = get_rays(H, W, K, c2w)
-    if c2w_staticcam is not None:
-        # Visualize the view-direction effect: directions from ``c2w``,
-        # geometry rays from the static camera (reference: run_nerf.py:122-124).
-        vd_src = rays_d
-        rays_o, rays_d = get_rays(H, W, K, c2w_staticcam)
-    focal = K[0][0]
-    rays_o, rays_d, viewdirs, near_a, far_a = _prepare_rays(
-        rays_o, rays_d, H, W, focal, near, far, config
+    """Single-pose render: the B=1 case of _render_pose_block_jit."""
+    out = _render_pose_block_jit(
+        params, c2w[None], K, near, far, config, H, W, tile_rays,
+        quant_state, occ_state,
+        None if c2w_staticcam is None else c2w_staticcam[None],
     )
-    if c2w_staticcam is not None and viewdirs is not None:
-        viewdirs = (
-            vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
-        ).reshape(-1, 3)
-
-    n = H * W
-    n_pad = ((n + tile_rays - 1) // tile_rays) * tile_rays
-    pad = n_pad - n
-
-    def padded(x):
-        return jnp.pad(x, ((0, pad), (0, 0))).reshape(-1, tile_rays, x.shape[-1])
-
-    tiles = (
-        padded(rays_o),
-        padded(rays_d),
-        padded(viewdirs) if viewdirs is not None else None,
-        padded(near_a),
-        padded(far_a),
-    )
-
-    def tile_fn(args):
-        ro, rd, vd, nr, fr = args
-        out, _ = render_rays(
-            None, params, ro, rd, vd, nr, fr,
-            config.test_mode(), quant_state=quant_state, train=False, step=None,
-            occ_state=occ_state,
-        )
-        return {
-            "rgb_map": out["rgb_map"],
-            "depth_map": out["depth_map"],
-            "acc_map": out["acc_map"],
-            "disp_map": out["disp_map"],
-        }
-
-    out = jax.lax.map(tile_fn, tiles)
-    flat = {k: v.reshape(n_pad, *v.shape[2:])[:n] for k, v in out.items()}
-    return {
-        "rgb_map": flat["rgb_map"].reshape(H, W, 3),
-        "depth_map": flat["depth_map"].reshape(H, W),
-        "acc_map": flat["acc_map"].reshape(H, W),
-        "disp_map": flat["disp_map"].reshape(H, W),
-    }
+    return {k: v[0] for k, v in out.items()}
 
 
 @functools.partial(
@@ -299,21 +251,32 @@ def _render_pose_block_jit(
     tile_rays: int,
     quant_state: Optional[Dict[str, Any]] = None,
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+    c2ws_staticcam: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a BLOCK of poses in one device dispatch.
 
-    Identical per-ray math to _render_image_jit, but the ray pool spans B
-    poses so videos/testsets pay the host->device dispatch latency once per
-    block instead of once per frame (measured ~0.17 s FIXED per dispatch
-    through the axon tunnel — the dominant cost of small-frame renders;
-    BENCH_NOTES.md render decomposition). The reference renders
-    pose-at-a-time (run_nerf.py:154-215)."""
+    The ray pool spans B poses so videos/testsets pay the host->device
+    dispatch latency once per block instead of once per frame (measured
+    ~30-40 ms per dispatch through the axon tunnel; BENCH_NOTES.md render
+    decomposition). The reference renders pose-at-a-time
+    (run_nerf.py:154-215). ``c2ws_staticcam`` visualizes the
+    view-direction effect: directions from ``c2ws``, geometry rays from
+    the static cameras (reference: run_nerf.py:122-124)."""
     B = c2ws.shape[0]
     rays_o, rays_d = jax.vmap(lambda p: get_rays(H, W, K, p))(c2ws)
+    vd_src = None
+    if c2ws_staticcam is not None:
+        vd_src = rays_d
+        rays_o, rays_d = jax.vmap(
+            lambda p: get_rays(H, W, K, p))(c2ws_staticcam)
     focal = K[0][0]
     rays_o, rays_d, viewdirs, near_a, far_a = _prepare_rays(
         rays_o, rays_d, H, W, focal, near, far, config
     )
+    if vd_src is not None and viewdirs is not None:
+        viewdirs = (
+            vd_src / jnp.linalg.norm(vd_src, axis=-1, keepdims=True)
+        ).reshape(-1, 3)
 
     n = B * H * W
     n_pad = ((n + tile_rays - 1) // tile_rays) * tile_rays

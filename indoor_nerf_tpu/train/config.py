@@ -261,5 +261,9 @@ def parse_args(argv: Optional[Sequence[str]] = None) -> argparse.Namespace:
                     else:
                         defaults[action.dest] = raw
                     break
+        if defaults.get("flagship"):
+            # `flagship = True` INSIDE a config file: the preset still sits
+            # below the file's own explicit values (preset < file < CLI).
+            defaults = {**FLAGSHIP_PRESET, **defaults}
         parser.set_defaults(**defaults)
     return parser.parse_args(argv)

@@ -351,6 +351,34 @@ def main():
 
     timed("field_query_fwd_only", make_field_query, state, batch)
 
+    # --- 3d. the bare MLP at the step's point count (fixed features) --------
+    from indoor_nerf_tpu.models.field import encode_views
+    from indoor_nerf_tpu.models.mlp import apply_nerf_small
+
+    n_pts_mlp = n_rand * n_occ
+    feats_fix = jnp.asarray(
+        rng.normal(size=(n_pts_mlp, 32), scale=0.1), jnp.float32)
+    dirs_fix = jnp.broadcast_to(
+        viewdirs[:, None, :], (n_rand, n_occ, 3)).reshape(-1, 3)
+
+    def make_mlp(state, feats_fix):
+        vf = encode_views(dirs_fix, fc)
+
+        @jax.jit
+        def run(state, feats_fix):
+            def body(carry, _):
+                acc, f = carry
+                raw = apply_nerf_small(
+                    state["params"]["coarse"], f, vf)
+                s = jnp.sum(raw)
+                return (acc + s, f + 1e-20 * s), None
+            (acc, _), _ = jax.lax.scan(
+                body, (jnp.zeros(()), feats_fix), None, length=n_steps)
+            return acc
+        return run
+
+    timed("mlp_fwd_only", make_mlp, state, feats_fix)
+
     # --- 4/5. encode fwd / fwd+bwd at the step's point count ----------------
     n_pts = n_rand * n_occ
     pts = jnp.asarray(

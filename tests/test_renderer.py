@@ -1,5 +1,7 @@
 """Tests for the ray renderer and full-image tiling."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -157,3 +159,38 @@ def test_render_path_pose_blocking(tmp_path):
     assert rgbs_b.shape == (5, H, W, 3)
     np.testing.assert_allclose(rgbs_b, rgbs_1, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(depths_b, depths_1, rtol=1e-5, atol=1e-5)
+
+
+def test_render_path_per_view_psnr_and_figures(tmp_path):
+    """Per-view PSNR entries and saved figures must cover EVERY pose when
+    pose_block > 1 (regression: they ran once per block using the block's
+    last frame — 1-in-B PSNR sampling and missing PNGs)."""
+    import glob as _glob
+
+    from indoor_nerf_tpu.render.path import render_path
+
+    _, rc, params = _setup()
+    H, W = 10, 8
+    K = np.array([[18.0, 0, W / 2], [0, 18.0, H / 2], [0, 0, 1]], np.float64)
+    poses = []
+    for i in range(5):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = [0.1 * i, 0.0, 0.02 * i]
+        poses.append(m)
+    poses = np.stack(poses)
+    gt = np.zeros((5, H, W, 3), np.float32)
+
+    savedir = str(tmp_path / "views")
+    os.makedirs(savedir)
+    rgbs, _, psnrs = render_path(
+        poses, (H, W, 18.0), K, rc, params, 2.0, 6.0,
+        gt_imgs=gt, savedir=savedir, save_figures=True,
+        tile_rays=64, pose_block=2,
+    )
+    assert len(psnrs) == 5
+    for i, rgb in enumerate(rgbs):
+        want = -10.0 * np.log10(np.mean(np.square(rgb - gt[i])))
+        np.testing.assert_allclose(psnrs[i], want, rtol=1e-6)
+    assert sorted(os.path.basename(p) for p in
+                  _glob.glob(os.path.join(savedir, "0*.png"))) == [
+        "000.png", "001.png", "002.png", "003.png", "004.png"]

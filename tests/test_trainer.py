@@ -84,6 +84,20 @@ def test_flagship_presets():
     assert c.i_embed == 1
 
 
+def test_flagship_in_config_file(tmp_path):
+    """`flagship = True` INSIDE a config file applies the preset (it was
+    silently ignored: the preset check ran before file values were read),
+    with the file's own explicit values still beating the preset."""
+    cfg = tmp_path / "f.txt"
+    cfg.write_text("expname = f\nflagship = True\nblock_size = 4\n")
+    a = parse_args(["--config", str(cfg)])
+    assert (a.i_embed, a.block_io, a.use_occupancy) == (3, "bf16", True)
+    assert a.block_size == 4  # file value beats the preset
+    # CLI still beats both.
+    b = parse_args(["--config", str(cfg), "--i_embed", "1"])
+    assert b.i_embed == 1
+
+
 @pytest.mark.slow
 def test_trainer_end_to_end_with_artifacts(tmp_path):
     from indoor_nerf_tpu.train.trainer import train
