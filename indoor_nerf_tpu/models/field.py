@@ -451,8 +451,13 @@ def query_field(
 
     view_feats = None
     if config.use_viewdirs and viewdirs is not None:
-        dirs = jnp.broadcast_to(viewdirs[:, None, :], (r, s, 3)).reshape(-1, 3)
-        view_feats = encode_views(dirs, config)
+        # SH/PE are pointwise in the direction and viewdirs are constant
+        # along a ray: encode the R rays once and broadcast over samples
+        # (S-fold less narrow-column stack work than per-sample encoding).
+        vf = encode_views(viewdirs, config)  # [R, D]
+        view_feats = jnp.broadcast_to(
+            vf[:, None, :], (r, s, vf.shape[-1])
+        ).reshape(r * s, -1)
 
     if config.uses_grid:
         weight_quant = None
