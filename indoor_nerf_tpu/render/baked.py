@@ -549,16 +549,20 @@ def baked_render_rays(
     # renderer. Degenerate (acc ~ 0) rays give z[0]; the guided caller
     # falls back to the full range for those via acc_thresh.
     cumw = jnp.cumsum(weights, axis=-1)
+    iota_s = jnp.arange(n_samples)
     lo_i = jnp.argmax(cumw >= 0.02 * acc[:, None], axis=-1)
     hi_i = jnp.argmax(cumw >= 0.98 * acc[:, None], axis=-1)
-    t_lo = jnp.take_along_axis(z, lo_i[:, None], axis=1)[:, 0]
-    t_hi = jnp.take_along_axis(z, hi_i[:, None], axis=1)[:, 0]
+    t_lo = jnp.sum((iota_s == lo_i[:, None]) * z, axis=-1)
+    t_hi = jnp.sum((iota_s == hi_i[:, None]) * z, axis=-1)
 
     # Pass 2: geo features for the top-k weighted samples per ray — ONE
     # 256 B voxel-corner row per sample (all 8 trilinear corners in-row),
     # the layout that sits under both measured gather walls (~50M rows/s
     # and ~50 GB/s on GB-scale tables).
     if k_geo is not None and k_geo < n_samples:
+        # lax.top_k measured FREE here (4.08 vs 4.09 FPS with an
+        # iterative-argmax rewrite, BENCH_NOTES.md) — S=24 per-ray sorts
+        # are not the sample_pdf situation.
         w_sel, sel = jax.lax.top_k(weights, k_geo)  # [N, k]
         rel_sel = jnp.take_along_axis(rel, sel[..., None], axis=1)
     else:
