@@ -309,3 +309,95 @@ def scatter_add_table_xla(cot, flat_row, n_levels, rows_per_level):
     return (
         jnp.zeros(shape, cot.dtype).at[flat_row].add(cot).astype(jnp.float32)
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("level_rows", "rows_per_level", "chunk", "interpret",
+                     "acc_dtype"),
+)
+def scatter_add_table_ragged(
+    cot: jnp.ndarray,
+    local_row: jnp.ndarray,
+    level_rows: tuple,
+    rows_per_level: int,
+    chunk: int = _CHUNK,
+    interpret: bool = False,
+    acc_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Ragged LEVEL-MAJOR scatter: per-level row counts may differ.
+
+    One pallas_call covers all levels — built for the grouped encode
+    backward, whose G-merged coarse levels have 1/G as many cotangent
+    rows as the exact fine levels (class-split per-level calls measured
+    ~5-8 ms of per-kernel overhead each, tpu_probe_grouped_*.json).
+
+    cot: ``[sum(level_rows), W]`` level-major stream (level 0's rows,
+        then level 1's, ...). Each ``level_rows[l]`` must be a multiple
+        of ``chunk`` (callers pad with local_row 0 / zero cotangent).
+    local_row: ``[sum(level_rows)]`` int32 LOCAL row ids (0..R-1).
+    Returns ``[len(level_rows)*R, W]`` float32.
+
+    Grid is one flat chunk axis; the output block index is the chunk's
+    level, derived from static prefix sums (chunks of a level are
+    consecutive, so Mosaic keeps the level's accumulator VMEM-resident
+    across them and writes it back once per level).
+    """
+    L = len(level_rows)
+    R = rows_per_level
+    M, W = cot.shape
+    assert M == sum(level_rows), (M, level_rows)
+    assert all(n % chunk == 0 for n in level_rows), (level_rows, chunk)
+    starts = []
+    acc_chunks = 0
+    for n in level_rows:
+        starts.append(acc_chunks)
+        acc_chunks += n // chunk
+    tot_chunks = acc_chunks
+
+    idx3 = local_row.reshape(tot_chunks, chunk // 128, 128)
+    cot3 = cot.reshape(tot_chunks, chunk, W)
+
+    def level_of(c):
+        lv = jnp.int32(0)
+        for s in starts[1:]:
+            lv = lv + jnp.int32(c >= s)
+        return lv
+
+    def kernel(idx_ref, cot_ref, acc_ref):
+        c = pl.program_id(0)
+        is_first = jnp.int32(0)
+        for s in starts:
+            is_first = is_first + jnp.int32(c == s)
+
+        @pl.when(is_first > 0)
+        def _init():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        def body(j, carry):
+            j8 = pl.multiple_of(j * 8, 8)
+            rows8 = cot_ref[0, pl.ds(j8, 8), :].astype(acc_ref.dtype)
+            for k in range(8):
+                i = j * 8 + k
+                r = idx_ref[0, i // 128, i % 128]
+                acc_ref[0, pl.ds(r, 1), :] += rows8[k : k + 1, :]
+            return carry
+
+        jax.lax.fori_loop(0, chunk // 8, body, 0, unroll=_UNROLL)
+
+    adt = jnp.bfloat16 if acc_dtype == "bfloat16" else jnp.float32
+    out = pl.pallas_call(
+        kernel,
+        grid=(tot_chunks,),
+        in_specs=[
+            pl.BlockSpec((1, chunk // 128, 128), lambda c: (c, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, W), lambda c: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, R, W), lambda c: (level_of(c), 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L, R, W), adt),
+        interpret=interpret,
+    )(idx3, cot3)
+    return out.reshape(L * R, W).astype(jnp.float32)

@@ -143,3 +143,32 @@ def test_scatter_runmerge_matches(rng, pattern):
         cot, flat, L, R, chunk=128, interpret=True, merge_runs=True
     )
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+def test_scatter_add_table_ragged_matches_xla():
+    """Ragged level-major kernel (one pallas_call, per-level row counts
+    differ) matches the XLA scatter in interpreter mode, including the
+    chunk-boundary accumulator handoff within a level."""
+    from indoor_nerf_tpu.ops.pallas.table_scatter import (
+        scatter_add_table_ragged,
+    )
+
+    rng = np.random.default_rng(7)
+    R, W, chunk = 64, 128, 128
+    level_rows = (256, 256, 128, 512)  # ragged; multiples of chunk
+    L = len(level_rows)
+    cot = jnp.asarray(
+        rng.normal(size=(sum(level_rows), W)).astype(np.float32))
+    local = jnp.asarray(
+        rng.integers(0, R, size=(sum(level_rows),)).astype(np.int32))
+
+    got = scatter_add_table_ragged(
+        cot, local, level_rows, R, chunk=chunk, interpret=True)
+
+    want = np.zeros((L * R, W), np.float32)
+    off = 0
+    for l, n in enumerate(level_rows):
+        np.add.at(want, l * R + np.asarray(local[off:off + n]),
+                  np.asarray(cot[off:off + n]))
+        off += n
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
