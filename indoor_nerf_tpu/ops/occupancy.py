@@ -37,6 +37,18 @@ class OccupancyConfig:
     n_candidates: int = 128  # free candidate depths per ray
     floor: float = 1e-2  # min candidate weight (keeps exploration alive)
     warmup_steps: int = 256  # uniform sampling until the grid has signal
+    # Candidate weighting:
+    #   "density"       — raw grid density (NerfAcc-style occupied-space
+    #                     sampling; every dense cell gets weight, including
+    #                     occluded interiors behind the first surface).
+    #   "transmittance" — alpha-composite the grid densities along the
+    #                     candidate ladder (the same T*alpha law as
+    #                     ops/volume.py raw2outputs) so weight lands where
+    #                     the RENDERING weight lands: the visible surface.
+    #                     Self-correcting for floaters: any density the grid
+    #                     registers earns sampling weight until gradients
+    #                     remove it, then its cells decay away.
+    weighting: str = "density"
 
     @property
     def n_cells(self) -> int:
@@ -122,6 +134,32 @@ def occupancy_z_vals(
     )  # [N, M]
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_cand[..., :, None]
     w = occupancy_lookup(pts, occ, config)  # [N, M]
+
+    if config.weighting == "transmittance":
+        # Alpha-composite the grid densities along the ladder (the T*alpha
+        # law of ops/volume.py raw2outputs, computed for free from the grid)
+        # so candidate weight matches expected RENDERING weight instead of
+        # raw density — occluded interiors stop stealing samples from the
+        # visible surface. Pure VPU (one cumsum), no new gathers.
+        dists = z_cand[..., 1:] - z_cand[..., :-1]  # [N, M-1]
+        dnorm = jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+        tau = w[..., :-1] * dists * dnorm  # optical depth per interval
+        alpha = 1.0 - jnp.exp(-tau)
+        # Exclusive transmittance via cumsum of optical depth (exact, and
+        # cheaper than a cumprod of (1 - alpha) terms).
+        trans = jnp.exp(-jnp.concatenate(
+            [jnp.zeros_like(tau[..., :1]), jnp.cumsum(tau[..., :-1], -1)], -1
+        ))
+        wt = trans * alpha  # [N, M-1], sums to <= 1
+        # Exploration floor scaled to the uniform bin probability, and
+        # uniform during warmup.
+        wt = wt + config.floor / wt.shape[-1]
+        wt = jnp.where(step < config.warmup_steps, jnp.ones_like(wt), wt)
+        # Natural bin pairing: intervals between candidates are the bins.
+        return sample_pdf(
+            k_pdf, z_cand, wt, n_samples, det=(perturb == 0.0)
+        )
+
     # Clip to a floor so empty-but-unexplored space keeps some probability;
     # force uniform during warmup.
     w = jnp.maximum(w, config.floor)

@@ -127,6 +127,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="network samples per ray in occupancy mode")
     add("--occ_candidates", type=int, default=128)
     add("--occ_update_interval", type=int, default=16)
+    add("--occ_weighting", type=str, default="density",
+        choices=["density", "transmittance"],
+        help="candidate weighting: raw grid density, or T*alpha "
+             "compositing of the grid densities (concentrates samples on "
+             "the visible surface; ops/occupancy.py)")
     add("--n_iters", type=int, default=8000,
         help="training iterations (reference hard-codes 8000, run_nerf.py:923)")
     add("--mesh_shape", type=str, default=None,
@@ -233,7 +238,12 @@ FLAGSHIP_PRESET = {
     "block_io": "bf16",
     "use_occupancy": True,
     "N_importance": 0,  # occupancy sampling replaces the hierarchical pass
-    "occ_samples": 48,
+    "occ_samples": 32,
+    # T*alpha candidate weighting: concentrates the per-ray query budget on
+    # the visible surface — beats the 48-sample density-weighted protocol
+    # on both train and held-out PSNR at 1.47x the throughput
+    # (convergence_tpu_transw32.json vs convergence_tpu_stratu.json).
+    "occ_weighting": "transmittance",
 }
 
 

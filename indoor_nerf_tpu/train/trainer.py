@@ -159,6 +159,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             resolution=args.occ_resolution,
             update_interval=args.occ_update_interval,
             n_candidates=args.occ_candidates,
+            weighting=getattr(args, "occ_weighting", "density"),
         )
     render = RenderConfig(
         field=field,

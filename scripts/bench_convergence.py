@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--n_samples", type=int, default=64)
     ap.add_argument("--n_importance", type=int, default=128)
     ap.add_argument("--occ_samples", type=int, default=64)
+    ap.add_argument("--occ_weighting", default="density",
+                    choices=["density", "transmittance"])
+    ap.add_argument("--occ_resolution", type=int, default=64)
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -93,7 +96,8 @@ def main():
     if args.use_occupancy:
         occupancy = OccupancyConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-            resolution=64,
+            resolution=args.occ_resolution,
+            weighting=args.occ_weighting,
         )
         n_importance = 0
     fc = FieldConfig(grid=grid, block_grid=block_grid, i_embed=args.i_embed,
@@ -199,6 +203,9 @@ def main():
             "i_embed": args.i_embed, "use_occupancy": args.use_occupancy,
             "n_rand": args.n_rand, "n_samples": args.n_samples,
             "n_importance": n_importance, "iters": args.iters,
+            "occ_samples": args.occ_samples,
+            "occ_weighting": args.occ_weighting,
+            "occ_resolution": args.occ_resolution,
         },
         "final_train_psnr_db": round(final_psnr, 2),
         "final_heldout_psnr_db": (

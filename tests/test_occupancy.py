@@ -79,6 +79,57 @@ def test_z_vals_concentrate_on_occupied():
     assert np.all(np.diff(np.asarray(z), axis=-1) >= 0)  # sorted
 
 
+def test_transmittance_weighting_targets_visible_surface():
+    """T*alpha candidate weighting puts samples at the FIRST surface and
+    starves occluded-but-dense space, unlike raw density weighting."""
+    g = 16
+    base = dict(bbox_min=(-1.0,) * 3, bbox_max=(1.0,) * 3, resolution=g,
+                warmup_steps=0, floor=1e-4)
+    # two dense slabs along +z: front (visible) and back (occluded)
+    dens = np.zeros((g, g, g), np.float32)
+    dens[:, :, 10:12] = 200.0  # world z in [0.25, 0.5]
+    dens[:, :, 14:16] = 200.0  # world z in [0.75, 1.0]
+    occ = {"density": jnp.asarray(dens.reshape(-1))}
+
+    n = 64
+    rays_o = jnp.tile(jnp.asarray([[0.0, 0.0, -1.0]]), (n, 1))
+    rays_d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))
+    near = jnp.full((n, 1), 0.0)
+    far = jnp.full((n, 1), 2.0)
+    step = jnp.asarray(1000)
+
+    out = {}
+    for w in ("density", "transmittance"):
+        cfg = OccupancyConfig(weighting=w, **base)
+        z = occupancy_z_vals(jax.random.PRNGKey(0), rays_o, rays_d, near,
+                             far, occ, cfg, n_samples=32, step=step)
+        z = np.asarray(z)
+        assert np.isfinite(z).all()
+        assert np.all(np.diff(z, axis=-1) >= 0)  # sorted
+        pts_z = -1.0 + z
+        out[w] = (np.mean((pts_z > 0.2) & (pts_z < 0.55)),   # front slab
+                  np.mean((pts_z > 0.7) & (pts_z < 1.05)))   # back slab
+    # density splits samples across both slabs; transmittance concentrates
+    # on the visible front and starves the occluded back
+    assert out["density"][1] > 0.25, out
+    assert out["transmittance"][0] > 0.85, out
+    assert out["transmittance"][1] < 0.05, out
+
+    # warmup forces uniform sampling in both modes
+    cfg = OccupancyConfig(**{**base, "warmup_steps": 16,
+                             "weighting": "transmittance"})
+    zw = np.asarray(occupancy_z_vals(
+        jax.random.PRNGKey(0), rays_o, rays_d, near, far, occ, cfg,
+        n_samples=32, step=jnp.asarray(0)))
+    assert zw.min() < 0.15 and zw.max() > 1.85
+
+    # deterministic mode (perturb=0) stays finite and sorted
+    zd = np.asarray(occupancy_z_vals(
+        jax.random.PRNGKey(0), rays_o, rays_d, near, far, occ, cfg,
+        n_samples=32, step=step, perturb=0.0))
+    assert np.isfinite(zd).all() and np.all(np.diff(zd, axis=-1) >= 0)
+
+
 @pytest.mark.slow
 def test_occupancy_training_converges():
     from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
