@@ -37,6 +37,8 @@ def main():
                          "axon chip before; these reuse the training "
                          "step's exact shapes/index distribution")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--occ_weighting", default="density",
+                    choices=["density", "transmittance"])
     ap.add_argument("--occ_samples", type=int, default=None,
                     help="occupancy-guided samples per ray (default: "
                          "n_samples=64; the shipped flagship preset is 48)")
@@ -100,7 +102,8 @@ def main():
         **io,
     )
     occupancy = OccupancyConfig(
-        bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8
+        bbox_min=bb[0], bbox_max=bb[1], resolution=64, warmup_steps=8,
+        weighting=args.occ_weighting,
     )
     fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0,
                      compute_dtype="bfloat16" if args.mlp_bf16 else "float32")

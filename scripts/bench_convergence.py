@@ -37,6 +37,7 @@ def main():
     ap.add_argument("--occ_weighting", default="density",
                     choices=["density", "transmittance"])
     ap.add_argument("--occ_resolution", type=int, default=64)
+    ap.add_argument("--occ_update_interval", type=int, default=16)
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -98,6 +99,7 @@ def main():
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             resolution=args.occ_resolution,
             weighting=args.occ_weighting,
+            update_interval=args.occ_update_interval,
         )
         n_importance = 0
     fc = FieldConfig(grid=grid, block_grid=block_grid, i_embed=args.i_embed,
