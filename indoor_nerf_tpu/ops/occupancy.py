@@ -49,6 +49,17 @@ class OccupancyConfig:
     #                     registers earns sampling weight until gradients
     #                     remove it, then its cells decay away.
     weighting: str = "density"
+    # Mixture for "transmittance": the final candidate distribution is
+    #   (1 - occlusion_mix) * normalize(T*alpha) + occlusion_mix * normalize(alpha)
+    # i.e. exactly occlusion_mix of the per-ray budget stays density-style
+    # pressure on dense space regardless of occlusion or thickness. Pure
+    # T*alpha (occlusion_mix=0) has a measured lock-in failure when the
+    # field goes foggy early (e.g. a mis-set background): samples pile onto
+    # the first fog, occluded density never receives carving gradient, and
+    # training monotonically DEGRADES (BENCH_NOTES.md round-2 soak
+    # diagnosis). The normalized blend restores density weighting's
+    # recovery mechanism at a bounded budget share.
+    occlusion_mix: float = 0.15
 
     @property
     def n_cells(self) -> int:
@@ -150,7 +161,14 @@ def occupancy_z_vals(
         trans = jnp.exp(-jnp.concatenate(
             [jnp.zeros_like(tau[..., :1]), jnp.cumsum(tau[..., :-1], -1)], -1
         ))
-        wt = trans * alpha  # [N, M-1], sums to <= 1
+        wt_vis = trans * alpha  # [N, M-1], sums to <= 1
+        # Normalized blend (see OccupancyConfig.occlusion_mix): a bounded
+        # per-ray budget share of density-style carving pressure.
+        mix = config.occlusion_mix
+        vis_sum = jnp.sum(wt_vis, axis=-1, keepdims=True)
+        occ_sum = jnp.sum(alpha, axis=-1, keepdims=True)
+        wt = (1.0 - mix) * wt_vis / jnp.maximum(vis_sum, 1e-10) \
+            + mix * alpha / jnp.maximum(occ_sum, 1e-10)
         # Exploration floor scaled to the uniform bin probability, and
         # uniform during warmup.
         wt = wt + config.floor / wt.shape[-1]

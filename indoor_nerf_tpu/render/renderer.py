@@ -120,6 +120,12 @@ def render_rays(
         }
         if fc.predict_normals:
             ret["normal_map"] = out["normal_map"]
+        if train:
+            # Per-sample compositing weights + depths for the distortion
+            # loss (losses/distortion.py); training batches only — eval
+            # tiles skip them to keep full-image render memory unchanged.
+            ret["weights"] = out["weights"]
+            ret["z_vals"] = z_vals
         if retraw:
             ret["raw"] = raw
         return ret, quant_state
@@ -183,6 +189,10 @@ def render_rays(
     ret["rays_d"] = rays_d
     if fc.predict_normals:
         ret["normal_map"] = out["normal_map"]
+    if train:
+        # Fine-pass weights/depths for the distortion loss (see above).
+        ret["weights"] = out["weights"]
+        ret["z_vals"] = z_vals
     if retraw:
         ret["raw"] = raw
     return ret, quant_state

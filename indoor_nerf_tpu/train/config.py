@@ -95,6 +95,9 @@ def build_parser() -> argparse.ArgumentParser:
     add("--log2_hashmap_size", type=int, default=19)
     add("--sparse-loss-weight", type=float, default=1e-10, dest="sparse_loss_weight")
     add("--tv-loss-weight", type=float, default=1e-6, dest="tv_loss_weight")
+    add("--distortion_loss_weight", type=float, default=0.0,
+        help="Mip-NeRF 360 interval-distortion regularizer on the per-ray "
+             "weight distribution (extension; combats few-shot floaters)")
 
     # quantization
     add("--use_quantization", action="store_true")

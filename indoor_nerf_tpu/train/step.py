@@ -54,6 +54,9 @@ class TrainConfig:
     sparse_loss_weight: float = 1e-10
     tv_loss_weight: float = 1e-6
     tv_cutoff_iter: int = 1000  # TV hard-disabled after this (run_nerf.py:1036-1037)
+    # Mip-NeRF 360 interval-distortion regularizer (losses/distortion.py) —
+    # a TPU-framework extension against few-shot floaters, off by default.
+    distortion_loss_weight: float = 0.0
     use_structural_priors: bool = False
     structural_loss_start_iter: int = 2000
     structural_loss_ramp_iters: int = 1000
@@ -196,6 +199,14 @@ def train_step(
                 lambda: jnp.zeros(()),
             )
             loss = loss + config.tv_loss_weight * tv
+
+        # Distortion loss on the (fine-pass) weight distribution
+        # (losses/distortion.py; extension, DIVERGENCES.md).
+        if config.distortion_loss_weight > 0:
+            from indoor_nerf_tpu.losses.distortion import distortion_loss
+
+            dist = distortion_loss(out["weights"], out["z_vals"], near, far)
+            loss = loss + config.distortion_loss_weight * dist
 
         # Structural priors with activation + linear ramp
         # (reference: run_nerf.py:1043-1148).

@@ -186,6 +186,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         lrate_decay=args.lrate_decay,
         sparse_loss_weight=args.sparse_loss_weight,
         tv_loss_weight=args.tv_loss_weight,
+        distortion_loss_weight=getattr(args, "distortion_loss_weight", 0.0),
         use_structural_priors=args.use_structural_priors,
         structural_loss_start_iter=args.structural_loss_start_iter,
         structural_loss_ramp_iters=args.structural_loss_ramp_iters,

@@ -109,11 +109,22 @@ def test_transmittance_weighting_targets_visible_surface():
         pts_z = -1.0 + z
         out[w] = (np.mean((pts_z > 0.2) & (pts_z < 0.55)),   # front slab
                   np.mean((pts_z > 0.7) & (pts_z < 1.05)))   # back slab
-    # density splits samples across both slabs; transmittance concentrates
-    # on the visible front and starves the occluded back
+    # density splits samples evenly across both slabs; transmittance
+    # concentrates on the visible front while the occlusion_mix alpha term
+    # keeps ~mix/(1+mix) carving pressure on the occluded back (pure
+    # T*alpha has a measured fog lock-in failure — ops/occupancy.py).
     assert out["density"][1] > 0.25, out
-    assert out["transmittance"][0] > 0.85, out
-    assert out["transmittance"][1] < 0.05, out
+    assert out["transmittance"][0] > 0.75, out
+    assert 0.03 < out["transmittance"][1] < 0.3, out
+
+    # occlusion_mix=0 is the pure T*alpha limit: back slab fully starved.
+    cfg0 = OccupancyConfig(weighting="transmittance", occlusion_mix=0.0,
+                           **base)
+    z0 = np.asarray(occupancy_z_vals(jax.random.PRNGKey(0), rays_o, rays_d,
+                                     near, far, occ, cfg0, n_samples=32,
+                                     step=step))
+    pts_z0 = -1.0 + z0
+    assert np.mean((pts_z0 > 0.7) & (pts_z0 < 1.05)) < 0.05
 
     # warmup forces uniform sampling in both modes
     cfg = OccupancyConfig(**{**base, "warmup_steps": 16,
