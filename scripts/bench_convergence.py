@@ -38,6 +38,7 @@ def main():
                     choices=["density", "transmittance"])
     ap.add_argument("--occ_resolution", type=int, default=64)
     ap.add_argument("--occ_update_interval", type=int, default=16)
+    ap.add_argument("--distortion_loss_weight", type=float, default=0.0)
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -108,7 +109,8 @@ def main():
                       n_importance=n_importance, white_bkgd=True,
                       occupancy=occupancy, n_occ_samples=args.occ_samples)
     cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
-                      n_rand=args.n_rand, lrate=0.01)
+                      n_rand=args.n_rand, lrate=0.01,
+                      distortion_loss_weight=args.distortion_loss_weight)
 
     H, W, _ = scene["hwf"]
     sampler = BatchedRaySampler(

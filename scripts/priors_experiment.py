@@ -31,6 +31,16 @@ def main():
     ap.add_argument("--ramp_iters", type=int, default=500)
     ap.add_argument("--weight_scale", type=float, default=1.0,
                     help="multiply the default structural weights")
+    ap.add_argument("--log2_rows", type=int, default=13,
+                    help="block-table capacity (rows/level = 2^k); smaller "
+                         "tables regularize few-shot training")
+    ap.add_argument("--n_levels", type=int, default=16)
+    ap.add_argument("--arms", default="priors",
+                    choices=["priors", "distortion", "all"],
+                    help="which treatment arms to run against baseline")
+    ap.add_argument("--distortion_weights", type=float, nargs="+",
+                    default=[0.01],
+                    help="distortion-loss weights to sweep (extension arm)")
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
 
@@ -56,10 +66,11 @@ def main():
                             n_train=args.n_train)
     H, W, _ = scene["hwf"]
 
-    def run(use_priors: bool):
+    def run(use_priors: bool, distortion_weight: float = 0.0):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-            n_levels=16, log2_rows=13, base_resolution=16,
+            n_levels=args.n_levels, log2_rows=args.log2_rows,
+            base_resolution=16,
             finest_resolution=512, block_size=3,
             gather_dtype="bfloat16", scatter_dtype="bfloat16",
         )
@@ -77,6 +88,7 @@ def main():
             use_structural_priors=use_priors,
             structural_loss_start_iter=args.start_iter,
             structural_loss_ramp_iters=args.ramp_iters,
+            distortion_loss_weight=distortion_weight,
         )
         # Few-shot: per-image sampling (the reference's no_batching mode
         # is what the priors pipeline expects — select_coords semantics).
@@ -112,6 +124,8 @@ def main():
                 np.mean((np.asarray(out["rgb_map"]) - gt) ** 2))))
         test_psnr = float(np.mean(psnrs))
         tag = "priors" if use_priors else "baseline"
+        if distortion_weight:
+            tag += f"+dist{distortion_weight:g}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
@@ -121,11 +135,16 @@ def main():
                 "per_view_test": [round(p, 2) for p in psnrs],
                 "wall_s": round(wall, 1)}
 
-    result = {
-        "config": vars(args),
-        "baseline": run(False),
-        "priors": run(True),
-    }
+    result = {"config": vars(args), "baseline": run(False)}
+    if args.arms in ("all", "priors"):
+        result["priors"] = run(True)
+    if args.arms in ("all", "distortion"):
+        for w in args.distortion_weights:
+            result[f"distortion_{w:g}"] = run(False, distortion_weight=w)
+        if args.arms == "all":
+            result["priors+distortion"] = run(
+                True, distortion_weight=args.distortion_weights[0]
+            )
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
