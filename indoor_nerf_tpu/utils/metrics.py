@@ -330,14 +330,24 @@ class MetricsLogger:
         summary: Dict[str, List] = {
             "Metric": [], "Baseline": [], "Quantized (8-bit)": [], "A-CAQ": []
         }
+        quantized_run = bool(self.metrics["avg_bitwidth"])
         if self.metrics["psnr"]:
             summary["Metric"].append("Final PSNR (dB)")
-            summary["Baseline"].append("N/A")
-            summary["Quantized (8-bit)"].append(
-                f"{self.metrics['psnr'][1000]:.2f}"
-                if len(self.metrics["psnr"]) > 1000 else "N/A"
-            )
-            summary["A-CAQ"].append(f"{self.metrics['psnr'][-1]:.2f}")
+            if quantized_run:
+                summary["Baseline"].append("N/A")
+                summary["Quantized (8-bit)"].append(
+                    f"{self.metrics['psnr'][1000]:.2f}"
+                    if len(self.metrics["psnr"]) > 1000 else "N/A"
+                )
+                summary["A-CAQ"].append(f"{self.metrics['psnr'][-1]:.2f}")
+            else:
+                # Divergence from the reference (metric_logger.py:324-331):
+                # its table reports an fp run's final PSNR under "A-CAQ" and
+                # the iter-1000 PSNR under "Quantized (8-bit)" even when no
+                # quantizer ran. Report honestly under Baseline instead.
+                summary["Baseline"].append(f"{self.metrics['psnr'][-1]:.2f}")
+                summary["Quantized (8-bit)"].append("N/A")
+                summary["A-CAQ"].append("N/A")
         if self.metrics["avg_bitwidth"]:
             summary["Metric"].append("Average Bitwidth")
             summary["Baseline"].append("32.0")
