@@ -98,6 +98,7 @@ def test_dp_full_feature_step_matches_single_device():
     occ = OccupancyConfig(
         bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
         resolution=16, update_interval=2, warmup_steps=0,
+        weighting="transmittance",  # the flagship sampler path
     )
     fc = FieldConfig(grid=grid, predict_normals=True, use_quantization=True)
     rc = RenderConfig(field=fc, n_samples=16, white_bkgd=True,
@@ -107,7 +108,7 @@ def test_dp_full_feature_step_matches_single_device():
         tv_loss_weight=1e-6, tv_cutoff_iter=100,
         use_structural_priors=True, structural_loss_start_iter=1,
         structural_loss_ramp_iters=2, use_acaq=True, acaq_start_iter=1,
-        acaq_interval=2,
+        acaq_interval=2, distortion_loss_weight=1e-3,
     )
     H, W, _ = scene["hwf"]
     sampler = BatchedRaySampler(
