@@ -584,6 +584,14 @@ def block_hash_encode_strided(
         else:
             groups.append([int(k), [l]])
 
+    # Arc-length parameter along each (sorted) ray: importance-sampled z
+    # is IRREGULAR, so index-space lerp misplaces samples between knots
+    # (measured -0.9 dB at the transmittance flagship, stride-magnitude
+    # invariant — convergence_tpu_transw32_strided{,2}.json). t is the
+    # distance from the ray's first sample; knot brackets are found with
+    # the same comparison-matrix searchsorted as ops/sampling.py.
+    t = jnp.linalg.norm(pts - pts[:, :1, :], axis=-1)  # [R, S], monotone
+
     outs = []
     for k, lv in groups:
         lv_t = tuple(lv)
@@ -592,12 +600,31 @@ def block_hash_encode_strided(
                 pts.reshape(-1, 3), table, config, levels=lv_t)
             outs.append(f.reshape(Rn, S, -1))
         else:
-            knots, W = _stride_knots(S, k)
+            knots, _ = _stride_knots(S, k)
+            K = len(knots)
             xk = pts[:, knots, :].reshape(-1, 3)
             fk, _ = block_hash_encode(xk, table, config, levels=lv_t)
-            fk = fk.reshape(Rn, len(knots), -1)
+            fk = fk.reshape(Rn, K, -1)
+            if K == 1:
+                outs.append(jnp.broadcast_to(fk, (Rn, S, fk.shape[-1])))
+                continue
+            tk = t[:, knots]  # [R, K]
+            # bracket index per sample: count of knot t's <= t_s, in [1, K-1]
+            inds = jnp.sum(
+                (tk[:, None, :] <= t[:, :, None]).astype(jnp.int32), axis=-1
+            )
+            j = jnp.clip(inds - 1, 0, K - 2)  # [R, S]
+            iota = jnp.arange(K)
+            oh_lo = (iota == j[..., None]).astype(jnp.float32)  # [R, S, K]
+            oh_hi = (iota == (j + 1)[..., None]).astype(jnp.float32)
+            t_lo = jnp.sum(oh_lo * tk[:, None, :], axis=-1)
+            t_hi = jnp.sum(oh_hi * tk[:, None, :], axis=-1)
+            w = jnp.clip(
+                (t - t_lo) / jnp.maximum(t_hi - t_lo, 1e-10), 0.0, 1.0
+            )  # [R, S]
+            Wr = oh_lo * (1.0 - w)[..., None] + oh_hi * w[..., None]
             outs.append(
-                jnp.einsum("rkf,sk->rsf", fk, jnp.asarray(W),
+                jnp.einsum("rkf,rsk->rsf", fk, Wr,
                            preferred_element_type=jnp.float32))
     return jnp.concatenate(outs, axis=-1), keep
 

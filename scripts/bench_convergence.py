@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--occ_resolution", type=int, default=64)
     ap.add_argument("--occ_update_interval", type=int, default=16)
     ap.add_argument("--distortion_loss_weight", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0,
+                    help="base PRNG seed (init = seed, train = seed + 1)")
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -118,7 +120,8 @@ def main():
         H, W, scene["K"], args.n_rand,
     )
     mesh = make_mesh()
-    state = replicate_state(init_train_state(jax.random.PRNGKey(0), cfg), mesh)
+    state = replicate_state(
+        init_train_state(jax.random.PRNGKey(args.seed), cfg), mesh)
     step_fn = make_sharded_train_step(cfg, mesh)
 
     # Fixed held-out ray subset from the TEST views: an unbiased estimator
@@ -158,7 +161,7 @@ def main():
             mse = jnp.mean((out["rgb_map"] - ev_tgt) ** 2)
             return -10.0 * jnp.log10(jnp.maximum(mse, 1e-12))
 
-    key = jax.random.PRNGKey(1)
+    key = jax.random.PRNGKey(args.seed + 1)
     batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
     state, metrics = step_fn(state, batch, key)  # compile
     jax.block_until_ready(metrics["loss"])

