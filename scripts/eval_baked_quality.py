@@ -67,11 +67,11 @@ def main():
     )
     occ = OccupancyConfig(
         bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-        resolution=64, warmup_steps=8,
+        resolution=64, warmup_steps=8, weighting="transmittance",
     )
     fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
-    rc = RenderConfig(field=fc, n_samples=48, n_importance=0,
-                      white_bkgd=True, occupancy=occ, n_occ_samples=48)
+    rc = RenderConfig(field=fc, n_samples=64, n_importance=0,
+                      white_bkgd=True, occupancy=occ, n_occ_samples=32)
     cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
                       n_rand=args.n_rand, lrate=0.01, tv_loss_weight=0.0)
 
