@@ -135,6 +135,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="candidate weighting: raw grid density, or T*alpha "
              "compositing of the grid densities (concentrates samples on "
              "the visible surface; ops/occupancy.py)")
+    add("--occ_mix", type=float, default=0.15,
+        help="transmittance weighting's occlusion mix: fraction of the "
+             "per-ray budget kept as density-style carving pressure "
+             "(guards the measured fog lock-in; ops/occupancy.py)")
     add("--n_iters", type=int, default=8000,
         help="training iterations (reference hard-codes 8000, run_nerf.py:923)")
     add("--mesh_shape", type=str, default=None,

@@ -160,6 +160,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             update_interval=args.occ_update_interval,
             n_candidates=args.occ_candidates,
             weighting=getattr(args, "occ_weighting", "density"),
+            occlusion_mix=getattr(args, "occ_mix", 0.15),
         )
     render = RenderConfig(
         field=field,
