@@ -98,6 +98,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--distortion_loss_weight", type=float, default=0.0,
         help="Mip-NeRF 360 interval-distortion regularizer on the per-ray "
              "weight distribution (extension; combats few-shot floaters)")
+    add("--ema_decay", type=float, default=0.0,
+        help="Polyak EMA of params; eval renders then use the averaged "
+             "weights (extension; measured NEUTRAL-NEGATIVE on the fast "
+             "NeRF protocol — BENCH_NOTES.md — kept for long-horizon runs)")
 
     # quantization
     add("--use_quantization", action="store_true")

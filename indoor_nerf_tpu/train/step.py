@@ -57,6 +57,11 @@ class TrainConfig:
     # Mip-NeRF 360 interval-distortion regularizer (losses/distortion.py) —
     # a TPU-framework extension against few-shot floaters, off by default.
     distortion_loss_weight: float = 0.0
+    # Polyak EMA of the parameters for evaluation (extension, off at 0.0):
+    # state["ema"] tracks ema*d + params*(1-d) each step; eval/checkpoint
+    # consumers may render with the averaged weights. Initialized AT the
+    # initial params, so early evals are init-biased for ~1/(1-d) steps.
+    ema_decay: float = 0.0
     use_structural_priors: bool = False
     structural_loss_start_iter: int = 2000
     structural_loss_ramp_iters: int = 1000
@@ -98,6 +103,10 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         state["occ"] = init_occupancy(config.render.occupancy)
     else:
         state["occ"] = None
+    if config.ema_decay > 0.0:
+        state["ema"] = jax.tree_util.tree_map(jnp.array, params)
+    else:
+        state["ema"] = None
     return state
 
 
@@ -295,11 +304,20 @@ def train_step(
             step % oc.update_interval == 0, refresh, lambda o: o, new_occ
         )
 
+    new_ema = state.get("ema")
+    if config.ema_decay > 0.0 and new_ema is not None:
+        d = config.ema_decay
+        new_ema = jax.tree_util.tree_map(
+            lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+            new_ema, new_params,
+        )
+
     new_state: TrainState = {
         "params": new_params,
         "opt": new_opt,
         "quant": new_quant,
         "occ": new_occ,
+        "ema": new_ema,
         "step": step + 1,
         "best_loss": jnp.minimum(new_best, aux["img_loss"]),
     }

@@ -188,6 +188,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         sparse_loss_weight=args.sparse_loss_weight,
         tv_loss_weight=args.tv_loss_weight,
         distortion_loss_weight=getattr(args, "distortion_loss_weight", 0.0),
+        ema_decay=getattr(args, "ema_decay", 0.0),
         use_structural_priors=args.use_structural_priors,
         structural_loss_start_iter=args.structural_loss_start_iter,
         structural_loss_ramp_iters=args.structural_loss_ramp_iters,
@@ -313,7 +314,7 @@ def train(args) -> Dict:
             }
             print(f"[baked] baking at {args.render_baked_res}^3 ...")
             baked = bake_field(
-                state["params"], cfg.render.field,
+                state.get("ema") or state["params"], cfg.render.field,
                 resolution=args.render_baked_res,
                 train_cameras=train_cams,
             )
@@ -323,14 +324,16 @@ def train(args) -> Dict:
                 n_samples=(24 if g else 128), guided=g, n_coarse=96,
             )
             rgbs, _, _ = render_path(
-                render_poses, scene.hwf, K, test_config, state["params"],
+                render_poses, scene.hwf, K, test_config,
+                state.get("ema") or state["params"],
                 scene.near, scene.far, gt_imgs=gt, savedir=savedir,
                 render_factor=args.render_factor,
                 image_renderer=image_renderer,
             )
         else:
             rgbs, _, _ = render_path(
-                render_poses, scene.hwf, K, test_config, state["params"],
+                render_poses, scene.hwf, K, test_config,
+                state.get("ema") or state["params"],
                 scene.near, scene.far, gt_imgs=gt, savedir=savedir,
                 render_factor=args.render_factor, quant_state=state["quant"],
                 occ_state=state.get("occ"),
@@ -627,7 +630,7 @@ def train(args) -> Dict:
         if i % args.i_video == 0 and i > 0:
             rgbs, disps, _ = render_path(
                 scene.render_poses, scene.hwf, K, test_config,
-                state["params"], scene.near, scene.far,
+                state.get("ema") or state["params"], scene.near, scene.far,
                 quant_state=state["quant"], occ_state=state.get("occ"),
                 save_figures=False, mesh=eval_mesh,
             )
@@ -648,7 +651,7 @@ def train(args) -> Dict:
             print("test poses shape", scene.poses[scene.i_test].shape)
             rgbs, _, psnrs = render_path(
                 scene.poses[scene.i_test], scene.hwf, K, test_config,
-                state["params"], scene.near, scene.far,
+                state.get("ema") or state["params"], scene.near, scene.far,
                 gt_imgs=scene.images[scene.i_test],
                 savedir=testsavedir if is_main else None,
                 quant_state=state["quant"], occ_state=state.get("occ"),

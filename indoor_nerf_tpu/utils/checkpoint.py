@@ -50,10 +50,31 @@ def list_checkpoints(logdir: str) -> List[str]:
 def restore_checkpoint(
     path: str, state_template: Dict[str, Any]
 ) -> Dict[str, Any]:
-    """Restore into the template pytree (shapes/dtypes must match)."""
+    """Restore into the template pytree (shapes/dtypes must match).
+
+    Forward-compatible at the TOP level: a checkpoint written before a new
+    optional state key existed (e.g. ``ema``) restores with that key kept
+    at its fresh-init template value — except ``ema``, which (when enabled)
+    is seeded from the RESTORED params so averaging resumes from the
+    checkpointed weights rather than the fresh init.
+    """
     with open(path, "rb") as f:
-        restored = serialization.from_bytes(state_template, f.read())
-    return restored
+        data = f.read()
+    try:
+        return serialization.from_bytes(state_template, data)
+    except (KeyError, ValueError):
+        raw = serialization.msgpack_restore(data)
+        restored: Dict[str, Any] = {}
+        for k, tmpl in state_template.items():
+            if k in raw:
+                restored[k] = serialization.from_state_dict(tmpl, raw[k])
+            else:
+                restored[k] = tmpl
+        if state_template.get("ema") is not None and "ema" not in raw:
+            restored["ema"] = jax.tree_util.tree_map(
+                np.array, restored["params"]
+            )
+        return restored
 
 
 def maybe_resume(

@@ -41,6 +41,9 @@ def main():
     ap.add_argument("--distortion_loss_weight", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0,
                     help="base PRNG seed (init = seed, train = seed + 1)")
+    ap.add_argument("--ema_decay", type=float, default=0.0,
+                    help="Polyak EMA of params; held-out eval then uses "
+                         "the averaged weights (train/step.py extension)")
     ap.add_argument("--block_io", default="f32", choices=["f32", "bf16"])
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
     ap.add_argument("--ray_strides", type=str, default=None,
@@ -112,7 +115,8 @@ def main():
                       occupancy=occupancy, n_occ_samples=args.occ_samples)
     cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
                       n_rand=args.n_rand, lrate=0.01,
-                      distortion_loss_weight=args.distortion_loss_weight)
+                      distortion_loss_weight=args.distortion_loss_weight,
+                      ema_decay=args.ema_decay)
 
     H, W, _ = scene["hwf"]
     sampler = BatchedRaySampler(
@@ -166,7 +170,7 @@ def main():
     state, metrics = step_fn(state, batch, key)  # compile
     jax.block_until_ready(metrics["loss"])
     if eval_fn is not None:  # compile the eval outside the timed window
-        float(eval_fn(state["params"], state.get("quant"), state.get("occ")))
+        float(eval_fn(state.get("ema") or state["params"], state.get("quant"), state.get("occ")))
 
     milestones = {}
     heldout_milestones = {}
@@ -191,7 +195,8 @@ def main():
         pending = (i, metrics)
         if eval_fn is not None and i % args.eval_every == 0:
             hp = float(
-                eval_fn(state["params"], state.get("quant"),
+                eval_fn(state.get("ema") or state["params"],
+                        state.get("quant"),
                         state.get("occ"))
             )
             heldout_curve.append(
