@@ -38,6 +38,7 @@ def main():
                     choices=["density", "transmittance"])
     ap.add_argument("--occ_resolution", type=int, default=64)
     ap.add_argument("--occ_update_interval", type=int, default=16)
+    ap.add_argument("--occ_candidates", type=int, default=128)
     ap.add_argument("--distortion_loss_weight", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0,
                     help="base PRNG seed (init = seed, train = seed + 1)")
@@ -106,6 +107,7 @@ def main():
             resolution=args.occ_resolution,
             weighting=args.occ_weighting,
             update_interval=args.occ_update_interval,
+            n_candidates=args.occ_candidates,
         )
         n_importance = 0
     fc = FieldConfig(grid=grid, block_grid=block_grid, i_embed=args.i_embed,
