@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--ramp_iters", type=int, default=500)
     ap.add_argument("--weight_scale", type=float, default=1.0,
                     help="multiply the default structural weights")
+    ap.add_argument("--use_occupancy", action="store_true",
+                    help="flagship sampler stack: occupancy-guided "
+                         "transmittance sampling instead of the plain "
+                         "96-sample stratified march")
+    ap.add_argument("--occ_samples", type=int, default=32)
     ap.add_argument("--log2_rows", type=int, default=13,
                     help="block-table capacity (rows/level = 2^k); smaller "
                          "tables regularize few-shot training")
@@ -76,8 +81,17 @@ def main():
         )
         fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0,
                          predict_normals=use_priors)
+        occ = None
+        if args.use_occupancy:
+            from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
+
+            occ = OccupancyConfig(
+                bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+                resolution=64, weighting="transmittance",
+            )
         rc = RenderConfig(field=fc, n_samples=96, n_importance=0,
-                          white_bkgd=False)
+                          white_bkgd=False, occupancy=occ,
+                          n_occ_samples=args.occ_samples)
         cfg = TrainConfig(
             render=rc, near=scene["near"], far=scene["far"],
             n_rand=args.n_rand, lrate=0.01,
