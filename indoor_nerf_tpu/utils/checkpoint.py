@@ -20,12 +20,7 @@ from flax import serialization
 CKPT_SUFFIX = ".ckpt"
 
 
-def save_checkpoint(logdir: str, step: int, state: Dict[str, Any]) -> str:
-    """Atomic write (tmp + rename): a preemption mid-save can never leave a
-    truncated checkpoint to auto-resume from (SURVEY.md §5.3 — the reference
-    has no preemption story at all)."""
-    os.makedirs(logdir, exist_ok=True)
-    path = os.path.join(logdir, f"{step:06d}{CKPT_SUFFIX}")
+def _atomic_write_state(path: str, state: Dict[str, Any]) -> str:
     host_state = jax.device_get(state)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
@@ -36,6 +31,28 @@ def save_checkpoint(logdir: str, step: int, state: Dict[str, Any]) -> str:
     return path
 
 
+def save_checkpoint(logdir: str, step: int, state: Dict[str, Any]) -> str:
+    """Atomic write (tmp + rename): a preemption mid-save can never leave a
+    truncated checkpoint to auto-resume from (SURVEY.md §5.3 — the reference
+    has no preemption story at all)."""
+    os.makedirs(logdir, exist_ok=True)
+    return _atomic_write_state(
+        os.path.join(logdir, f"{step:06d}{CKPT_SUFFIX}"), state
+    )
+
+
+def save_best_checkpoint(logdir: str, state: Dict[str, Any]) -> str:
+    """Best-held-out snapshot as ``best.ckpt`` (framework extension: the
+    held-out curve peaks mid-training then declines from overfitting —
+    BENCH_NOTES.md ceiling study — so keep-latest loses ~1 dB). Excluded
+    from auto-resume-newest (list_checkpoints filters to step-numbered
+    files); load explicitly via ``--ft_path <logdir>/best.ckpt``."""
+    os.makedirs(logdir, exist_ok=True)
+    return _atomic_write_state(
+        os.path.join(logdir, f"best{CKPT_SUFFIX}"), state
+    )
+
+
 def list_checkpoints(logdir: str) -> List[str]:
     """Sorted checkpoint paths (reference: run_nerf.py:299 sorts + filters)."""
     if not os.path.isdir(logdir):
@@ -43,7 +60,9 @@ def list_checkpoints(logdir: str) -> List[str]:
     return [
         os.path.join(logdir, f)
         for f in sorted(os.listdir(logdir))
-        if f.endswith(CKPT_SUFFIX)
+        # step-numbered files only: best.ckpt would sort AFTER the digits
+        # and hijack auto-resume-NEWEST
+        if f.endswith(CKPT_SUFFIX) and f[: -len(CKPT_SUFFIX)].isdigit()
     ]
 
 

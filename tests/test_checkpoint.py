@@ -67,6 +67,38 @@ def test_restore_old_checkpoint_missing_new_keys(tmp_path):
     assert restored0["ema"] is None
 
 
+def test_best_checkpoint_excluded_from_auto_resume(tmp_path):
+    """best.ckpt (best-held-out snapshot) must never hijack
+    auto-resume-NEWEST: list_checkpoints filters to step-numbered files,
+    and save_best_checkpoint round-trips via --ft_path-style explicit
+    load."""
+    from indoor_nerf_tpu.utils.checkpoint import (
+        list_checkpoints,
+        maybe_resume,
+        save_best_checkpoint,
+    )
+
+    cfg, state, batch = _setup()
+    state, _ = jax.jit(lambda s, b, k: train_step(s, b, k, cfg))(
+        state, batch, jax.random.PRNGKey(0))
+    save_checkpoint(str(tmp_path), 5, state)
+    best_path = save_best_checkpoint(str(tmp_path), state)
+    assert best_path.endswith("best.ckpt")
+
+    listed = list_checkpoints(str(tmp_path))
+    assert [os.path.basename(p) for p in listed] == ["000005.ckpt"]
+
+    # Auto-resume picks the numbered checkpoint, not best.ckpt.
+    template = jax.device_get(state)
+    resumed = maybe_resume(str(tmp_path), template)
+    assert int(np.asarray(resumed["step"])) == int(np.asarray(state["step"]))
+
+    # Explicit --ft_path load of best.ckpt works.
+    resumed_best = maybe_resume(str(tmp_path), template, ft_path=best_path)
+    np.testing.assert_array_equal(
+        np.asarray(resumed_best["step"]), np.asarray(state["step"]))
+
+
 def test_ema_tracks_params():
     """state['ema'] moves toward the updated params at the configured
     decay and stays off (None) by default."""
