@@ -186,9 +186,25 @@ def learned_fake_quant(
         running_min = get(group["running_min"])
         zero_point = jnp.round(jnp.clip(-running_min / scale, qmin, qmax))
 
-    x_scaled = x / (scale + 1e-8)
+    # Guard the division MULTIPLICATIVELY: the reference adds an absolute
+    # epsilon (quantization.py:180 `scale + 1e-8`), which DOMINATES the true
+    # scale once range/2^bits < 1e-8 (reached at ~24+ bits for trained
+    # ranges, or ~13 bits for the 1e-4-scale init) — x is then scaled by
+    # 1e8 but dequantized by the tiny real scale, collapsing every value
+    # toward zero. Measured: the A-CAQ MDL controller ratchets bits up
+    # after convergence (its loss can never beat best*1.2 once the fit
+    # saturates) and training COLLAPSED from 49 dB to 24 dB as bits
+    # crossed ~24 (BENCH_NOTES.md). Divergence documented in
+    # DIVERGENCES.md.
+    safe_scale = jnp.maximum(scale, 1e-30)
+    x_scaled = x / safe_scale
     x_quant = jnp.clip(jnp.round(x_scaled + zero_point), qmin, qmax)
-    x_dequant = (x_quant - zero_point) * scale
+    x_dequant = (x_quant - zero_point) * safe_scale
+    # High-bits bypass: beyond f32's 24-bit mantissa the rounding itself
+    # is numerically meaningless (round(x/scale) with x/scale > 2^24 is
+    # identity noise) and quantization at >= 24 bits is a mathematical
+    # no-op for f32 data anyway — pass through exactly.
+    x_dequant = jnp.where(bits >= 24.0, x, x_dequant)
     if train:
         return x + jax.lax.stop_gradient(x_dequant - x)
     return x_dequant

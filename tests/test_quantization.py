@@ -51,6 +51,31 @@ def test_learned_quant_small_scale_inputs(rng):
     assert err < 2e-6, err
 
 
+def test_learned_quant_high_bits_is_identity(rng):
+    """At >= 24 soft bits the quantizer must pass values through EXACTLY.
+    Regression for the measured A-CAQ long-horizon collapse: the
+    reference's absolute epsilon (quantization.py:180 `scale + 1e-8`)
+    dominates the true step once range/2^bits < 1e-8, scaling x by 1e8 and
+    dequantizing by the tiny real scale — every value collapses toward 0
+    as the MDL controller ratchets bits upward after convergence
+    (49 dB -> 24 dB measured between iters 2500 and 3500)."""
+    x = jnp.asarray(rng.uniform(-0.5, 0.5, size=(4096,)).astype(np.float32))
+    group = _calibrated_group(x, symmetric=False)
+    for bits in (24.0, 28.0, 32.0):
+        g = dict(group)
+        g["soft_bits"] = jnp.full_like(group["soft_bits"], bits)
+        for train in (True, False):
+            q = learned_fake_quant(x, g, CFG, symmetric=False, train=train)
+            np.testing.assert_array_equal(np.asarray(q), np.asarray(x))
+    # and 20 bits (below the bypass) must still be a faithful fine-grained
+    # quantization, not a collapse: relative error tiny, values preserved.
+    g = dict(group)
+    g["soft_bits"] = jnp.full_like(group["soft_bits"], 20.0)
+    q = learned_fake_quant(x, g, CFG, symmetric=False, train=False)
+    assert float(jnp.max(jnp.abs(q - x))) < 1e-5
+    assert float(jnp.mean(jnp.abs(np.asarray(q)))) > 0.1  # not zeroed
+
+
 def test_learned_quant_unique_values_bounded(rng):
     """Eval-mode quantization at B bits yields at most 2^B distinct values
     (debug.py:90-137 checks)."""
