@@ -471,7 +471,7 @@ def baked_render_rays(
     far: float,
     n_samples: int = 128,
     white_bkgd: bool = True,
-    k_geo: Optional[int] = 8,
+    k_geo: Optional[int] = 4,
     t_bounds: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
@@ -481,7 +481,9 @@ def baked_render_rays(
     2. features: the 8 corner rows (~32 B each) of the vertex-major geo
        table, only for the ``k_geo`` highest-weight samples per ray
        (surface hits carry ~all the weight mass; quality is flat down to
-       k=8, see BENCH_NOTES.md). ``k_geo=None`` uses every sample.
+       k=4 — 23.64 vs 23.79 dB at k=8 on the trained-scene sweep, and
+       the same-session FPS pair measures 4.04 vs 3.10 at 800^2, see
+       BENCH_NOTES.md). ``k_geo=None`` uses every sample.
     Then ONE deferred color-net evaluation per ray.
 
     ``t_bounds``: optional per-ray ``([N], [N])`` sampling interval along
@@ -630,7 +632,7 @@ def make_baked_image_renderer(
     tile_rays: int = 16384,
     n_samples: int = 128,
     white_bkgd: bool = True,
-    k_geo: Optional[int] = 8,
+    k_geo: Optional[int] = 4,
     guided: int = 0,
     n_coarse: int = 128,
     margin_frac: float = 0.04,

@@ -40,6 +40,9 @@ def main():
                          "n_samples then counts FINE samples (use 24-32)")
     ap.add_argument("--n_coarse", type=int, default=128,
                     help="with --guided: samples/ray of the low-res pass")
+    ap.add_argument("--k_geo", type=int, default=4,
+                    help="with --baked: pass-2 top-k geo fetches per ray "
+                         "(quality flat to k=4, BENCH_NOTES.md; the default)")
     ap.add_argument("--pose_block", type=int, default=1,
                     help="poses rendered per device dispatch (amortizes "
                          "fixed per-dispatch latency; VERDICT round-1 "
@@ -105,12 +108,14 @@ def main():
         render = make_baked_image_renderer(
             baked, H, W, tile_rays=args.tile_rays, n_samples=args.n_samples,
             guided=args.guided, n_coarse=args.n_coarse, pose_block=B,
+            k_geo=args.k_geo,
         )
         render_call = (lambda: render(c2ws, K, 2.0, 6.0)) if B > 1 else (
             lambda: render(c2w, K, 2.0, 6.0))
         single_call = lambda: render(c2w, K, 2.0, 6.0)
         cfg_out = {"baked_res": args.baked_res, "dtype": args.baked_dtype,
                    "n_samples": args.n_samples, "guided": args.guided,
+                   "k_geo": args.k_geo,
                    "n_coarse": args.n_coarse if args.guided else None,
                    "pose_block": B,
                    "bake_seconds": round(bake_s, 2)}

@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--baked_res", type=int, default=256)
     ap.add_argument("--n_fine", type=int, default=24)
+    ap.add_argument("--k_geo_sweep", type=int, nargs="+", default=[8],
+                    help="pass-2 top-k values to evaluate (the guided\n"
+                         "renderer fetches geo rows for only the k\n"
+                         "highest-weight samples)")
     ap.add_argument("--n_coarse", type=int, default=96)
     ap.add_argument("--guided", type=int, default=4)
     ap.add_argument("--out", default="baked_quality.json")
@@ -105,14 +109,20 @@ def main():
     online = make_image_renderer(rc.test_mode(), H, W, 4096)
     plain = make_baked_image_renderer(
         baked, H, W, tile_rays=4096, n_samples=128)
-    guided = make_baked_image_renderer(
-        baked, H, W, tile_rays=4096, n_samples=args.n_fine,
-        guided=args.guided, n_coarse=args.n_coarse)
+    guided_by_k = {
+        k: make_baked_image_renderer(
+            baked, H, W, tile_rays=4096, n_samples=args.n_fine,
+            guided=args.guided, n_coarse=args.n_coarse, k_geo=k)
+        for k in args.k_geo_sweep
+    }
+    guided = guided_by_k[args.k_geo_sweep[0]]
 
     def psnr(rgb, gt):
         return float(-10 * np.log10(np.mean((np.asarray(rgb) - gt) ** 2)))
 
     sums = {"online": [], "baked": [], "guided": []}
+    for k in args.k_geo_sweep[1:]:
+        sums[f"guided_k{k}"] = []
     for i_test in scene["i_split"][2]:
         gt = np.asarray(scene["images"][i_test])
         c2w = np.asarray(scene["poses"][i_test])[:3, :4]
@@ -123,6 +133,9 @@ def main():
         sums["baked"].append(psnr(b["rgb_map"], gt))
         g = guided(c2w, scene["K"], scene["near"], scene["far"])
         sums["guided"].append(psnr(g["rgb_map"], gt))
+        for k in args.k_geo_sweep[1:]:
+            gk = guided_by_k[k](c2w, scene["K"], scene["near"], scene["far"])
+            sums[f"guided_k{k}"].append(psnr(gk["rgb_map"], gt))
         print(f"view {i_test}: online {sums['online'][-1]:.2f} "
               f"baked {sums['baked'][-1]:.2f} "
               f"guided {sums['guided'][-1]:.2f}")
@@ -132,6 +145,7 @@ def main():
             "iters": args.iters, "baked_res": args.baked_res,
             "guided": args.guided, "n_fine": args.n_fine,
             "n_coarse": args.n_coarse, "res": args.res,
+            "k_geo_sweep": args.k_geo_sweep,
         },
         "train_psnr_db": round(train_psnr, 2),
         "test_psnr_db": {
