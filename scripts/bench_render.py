@@ -37,7 +37,7 @@ def main():
     ap.add_argument("--guided", type=int, default=0,
                     help="with --baked: depth-guided two-level rendering; "
                          "value = coarse downsample factor (e.g. 4). "
-                         "n_samples then counts FINE samples (use 24-32)")
+                         "n_samples then counts FINE samples (use 16-32; quality knee 16)")
     ap.add_argument("--n_coarse", type=int, default=128,
                     help="with --guided: samples/ray of the low-res pass")
     ap.add_argument("--k_geo", type=int, default=4,
