@@ -321,7 +321,7 @@ def train(args) -> Dict:
             g = args.render_guided
             image_renderer = make_baked_image_renderer(
                 baked, int(Hb), int(Wb),
-                n_samples=(16 if g else 128), guided=g, n_coarse=96,
+                n_samples=(16 if g else 128), guided=g, n_coarse=64,
             )
             rgbs, _, _ = render_path(
                 render_poses, scene.hwf, K, test_config,

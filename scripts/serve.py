@@ -99,7 +99,7 @@ def build(args):
         g = getattr(args, "guided", 0)
         baked_renderer = make_baked_image_renderer(
             baked, int(H), int(W),
-            n_samples=(16 if g else 128), guided=g,
+            n_samples=(16 if g else 128), guided=g, n_coarse=64,
         )
 
         def render(c2w):
