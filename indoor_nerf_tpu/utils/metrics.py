@@ -208,120 +208,125 @@ class MetricsLogger:
                 index=False,
             )
 
-    def plot_training_curves(self, save_path=None):
-        """4-panel PNG: PSNR-vs-time, log loss, bitwidth evolution,
-        per-component bitwidths (reference: metric_logger.py:207-260)."""
+    # ---- figure generation -------------------------------------------------
+    #
+    # The two diagnostic PNGs keep the reference's ARTIFACT layout (a 2x2
+    # panel grid per figure with the same panel semantics and file names,
+    # reference: metric_logger.py:207-313) but are generated from a
+    # declarative panel spec rather than per-panel plotting code: each panel
+    # is a dict of data series + a `kind`, and `_draw_panel_grid` is the one
+    # place that touches matplotlib. DIVERGENCES.md #28.
+
+    def _draw_panel_grid(self, save_path, panels):
+        """Render up to 4 panel specs into a 2x2 grid PNG.
+
+        Panel spec keys: kind ('line'|'scatter'|'hist'), series (list of
+        (x, y, label) — for hist a single (values, None, None)), title,
+        xlabel, ylabel, and optional logy / ylim / legend / small_legend.
+        Panels whose series are empty are skipped (their grid cell stays
+        blank, matching the reference's conditional panels).
+        """
         if not self.write:
             return
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        fig, axes = plt.subplots(2, 2, figsize=(12, 10))
+        for ax, spec in zip(axes.flat, panels):
+            if spec is None or not spec.get("series"):
+                ax.set_axis_off()
+                continue
+            for x, y, label in spec["series"]:
+                if spec["kind"] == "hist":
+                    ax.hist(x, bins=20, edgecolor="black", alpha=0.7)
+                elif spec["kind"] == "scatter":
+                    ax.scatter(x, y, alpha=0.6, label=label)
+                else:
+                    draw = ax.semilogy if spec.get("logy") else ax.plot
+                    draw(x, y, alpha=0.8, label=label)
+            ax.set_title(spec["title"])
+            ax.set_xlabel(spec["xlabel"])
+            ax.set_ylabel(spec["ylabel"])
+            ax.grid(True, alpha=0.3)
+            if spec.get("ylim"):
+                ax.set_ylim(*spec["ylim"])
+            if spec.get("small_legend"):
+                ax.legend(bbox_to_anchor=(1.05, 1), loc="upper left",
+                          fontsize=6)
+            elif spec.get("legend"):
+                ax.legend()
+        fig.tight_layout()
+        fig.savefig(save_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+
+    def _training_curve_panels(self):
+        m = self.metrics
+        iters, avg_bw = m["iteration"], m["avg_bitwidth"]
+        component_series = [
+            (list(range(len(hist))), hist, name.replace("_", " ").title())
+            for name, hist in m["component_bitwidths"].items() if hist
+        ]
+        return [
+            {"kind": "line", "title": "PSNR vs Training Time",
+             "xlabel": "Time (seconds)", "ylabel": "PSNR (dB)",
+             "series": [(m["time"], m["psnr"], None)] if m["psnr"] else []},
+            {"kind": "line", "logy": True, "title": "Training Loss",
+             "xlabel": "Iteration", "ylabel": "Loss (MSE)",
+             "series": [(iters, m["loss"], None)] if m["loss"] else []},
+            {"kind": "line", "title": "Bitwidth Evolution",
+             "xlabel": "Iteration", "ylabel": "Average Bitwidth",
+             "ylim": (0, max(avg_bw) + 1) if avg_bw else None,
+             "series": [(iters[: len(avg_bw)], avg_bw, None)] if avg_bw else []},
+            {"kind": "line", "title": "Component-wise Bitwidth Evolution",
+             "xlabel": "Iteration", "ylabel": "Bitwidth",
+             "small_legend": True, "series": component_series},
+        ]
+
+    def _quantization_panels(self):
+        m, q = self.metrics, self.quant_metrics
+        avg_bw = m["avg_bitwidth"]
+        sizes = [s for s in q["model_size"] if s is not None]
+        eb = [b for b in q["embed_bits"] if b is not None]
+        mb = [b for b in q["mlp_bits"] if b is not None]
+        psnr_vs_bits = (
+            [(avg_bw, m["psnr"][: len(avg_bw)], None)]
+            if avg_bw and len(m["psnr"]) >= len(avg_bw) else []
+        )
+        return [
+            {"kind": "hist", "title": "Final Bitwidth Distribution",
+             "xlabel": "Bitwidth", "ylabel": "Count",
+             "series": [(m["bitwidth_distribution"][-1], None, None)]
+             if m["bitwidth_distribution"] else []},
+            {"kind": "scatter", "title": "PSNR vs Bitwidth Trade-off",
+             "xlabel": "Average Bitwidth", "ylabel": "PSNR (dB)",
+             "series": psnr_vs_bits},
+            {"kind": "line", "title": "Model Compression Over Time",
+             "xlabel": "Iteration", "ylabel": "Model Size (MB)",
+             "series": [(list(range(len(sizes))), sizes, None)] if sizes else []},
+            {"kind": "line", "title": "Component-wise Compression",
+             "xlabel": "Iteration", "ylabel": "Average Bitwidth", "legend": True,
+             "series": [
+                 (list(range(len(eb))), eb, "Embeddings"),
+                 (list(range(len(mb))), mb, "MLP"),
+             ] if (eb and mb) else []},
+        ]
+
+    def plot_training_curves(self, save_path=None):
+        """4-panel PNG: PSNR-vs-time, log loss, bitwidth evolution,
+        per-component bitwidths (artifact parity with metric_logger.py:207-260;
+        generated from the declarative panel spec above)."""
         if save_path is None:
             save_path = os.path.join(self.metrics_dir, "training_curves.png")
-        fig, axes = plt.subplots(2, 2, figsize=(12, 10))
-
-        ax = axes[0, 0]
-        ax.plot(self.metrics["time"], self.metrics["psnr"], "b-", linewidth=2)
-        ax.set_xlabel("Time (seconds)")
-        ax.set_ylabel("PSNR (dB)")
-        ax.set_title("PSNR vs Training Time")
-        ax.grid(True, alpha=0.3)
-
-        ax = axes[0, 1]
-        ax.semilogy(self.metrics["iteration"], self.metrics["loss"], "r-",
-                    linewidth=2)
-        ax.set_xlabel("Iteration")
-        ax.set_ylabel("Loss (MSE)")
-        ax.set_title("Training Loss")
-        ax.grid(True, alpha=0.3)
-
-        if self.metrics["avg_bitwidth"]:
-            ax = axes[1, 0]
-            n = len(self.metrics["avg_bitwidth"])
-            ax.plot(self.metrics["iteration"][:n], self.metrics["avg_bitwidth"],
-                    "g-", linewidth=2)
-            ax.set_xlabel("Iteration")
-            ax.set_ylabel("Average Bitwidth")
-            ax.set_title("Bitwidth Evolution")
-            ax.grid(True, alpha=0.3)
-            ax.set_ylim(0, max(self.metrics["avg_bitwidth"]) + 1)
-
-        if self.metrics["component_bitwidths"]:
-            ax = axes[1, 1]
-            for name, hist in self.metrics["component_bitwidths"].items():
-                if hist:
-                    style = "--" if "embed" in name.lower() else "-"
-                    ax.plot(range(len(hist)), hist, style, alpha=0.7,
-                            label=name.replace("_", " ").title())
-            ax.set_xlabel("Iteration")
-            ax.set_ylabel("Bitwidth")
-            ax.set_title("Component-wise Bitwidth Evolution")
-            ax.grid(True, alpha=0.3)
-            ax.legend(bbox_to_anchor=(1.05, 1), loc="upper left", fontsize=6)
-
-        plt.tight_layout()
-        plt.savefig(save_path, dpi=150, bbox_inches="tight")
-        plt.close(fig)
+        self._draw_panel_grid(save_path, self._training_curve_panels())
 
     def plot_quantization_analysis(self, save_path=None):
         """4-panel PNG: bit histogram, PSNR-vs-bits, model size, embed-vs-MLP
-        (reference: metric_logger.py:262-313)."""
-        if not self.write:
-            return
-        import matplotlib
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
+        (artifact parity with metric_logger.py:262-313; declarative spec)."""
         if save_path is None:
-            save_path = os.path.join(self.metrics_dir, "quantization_analysis.png")
-        fig, axes = plt.subplots(2, 2, figsize=(12, 10))
-
-        if self.metrics["bitwidth_distribution"]:
-            ax = axes[0, 0]
-            ax.hist(self.metrics["bitwidth_distribution"][-1], bins=20,
-                    edgecolor="black", alpha=0.7)
-            ax.set_xlabel("Bitwidth")
-            ax.set_ylabel("Count")
-            ax.set_title("Final Bitwidth Distribution")
-            ax.grid(True, alpha=0.3)
-
-        if self.metrics["avg_bitwidth"] and len(self.metrics["psnr"]) >= len(
-            self.metrics["avg_bitwidth"]
-        ):
-            ax = axes[0, 1]
-            n = len(self.metrics["avg_bitwidth"])
-            ax.scatter(self.metrics["avg_bitwidth"], self.metrics["psnr"][:n],
-                       alpha=0.6)
-            ax.set_xlabel("Average Bitwidth")
-            ax.set_ylabel("PSNR (dB)")
-            ax.set_title("PSNR vs Bitwidth Trade-off")
-            ax.grid(True, alpha=0.3)
-
-        sizes = [s for s in self.quant_metrics["model_size"] if s is not None]
-        if sizes:
-            ax = axes[1, 0]
-            ax.plot(range(len(sizes)), sizes, "purple", linewidth=2)
-            ax.set_xlabel("Iteration")
-            ax.set_ylabel("Model Size (MB)")
-            ax.set_title("Model Compression Over Time")
-            ax.grid(True, alpha=0.3)
-
-        eb = [b for b in self.quant_metrics["embed_bits"] if b is not None]
-        mb = [b for b in self.quant_metrics["mlp_bits"] if b is not None]
-        if eb and mb:
-            ax = axes[1, 1]
-            ax.plot(range(len(eb)), eb, "b-", label="Embeddings", linewidth=2)
-            ax.plot(range(len(mb)), mb, "r-", label="MLP", linewidth=2)
-            ax.set_xlabel("Iteration")
-            ax.set_ylabel("Average Bitwidth")
-            ax.set_title("Component-wise Compression")
-            ax.legend()
-            ax.grid(True, alpha=0.3)
-
-        plt.tight_layout()
-        plt.savefig(save_path, dpi=150, bbox_inches="tight")
-        plt.close(fig)
+            save_path = os.path.join(self.metrics_dir,
+                                     "quantization_analysis.png")
+        self._draw_panel_grid(save_path, self._quantization_panels())
 
     def generate_summary_table(self):
         """summary_table.{csv,tex} (reference: metric_logger.py:315-352)."""
