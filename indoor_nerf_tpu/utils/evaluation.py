@@ -10,6 +10,7 @@ back to None with a warning when pretrained AlexNet weights are unavailable
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -112,15 +113,102 @@ def gmsd(img: np.ndarray, gt: np.ndarray) -> float:
     return float(np.std(gms))
 
 
+#: AlexNet conv-stack geometry shared by the native LPIPS implementation
+#: and fixture builders: (out_ch, in_ch, kernel, stride, padding) per conv,
+#: with 3x3/stride-2 max-pools before conv2 and conv3 (torchvision AlexNet
+#: features layout, the backbone the lpips package taps).
+LPIPS_ALEX_CONVS = (
+    (64, 3, 11, 4, 2),
+    (192, 64, 5, 1, 2),
+    (384, 192, 3, 1, 1),
+    (256, 384, 3, 1, 1),
+    (256, 256, 3, 1, 1),
+)
+
+
+class _NativeLpipsAlex:
+    """LPIPS(alex) forward pass in plain torch, no lpips package.
+
+    Faithful to the lpips reference computation (richzhang/PerceptualSimilarity,
+    used by PocketNeRF/evaluation_utils.py:18-20): images scaled to [-1,1],
+    shifted/scaled per channel, passed through the AlexNet conv stack; the five
+    post-ReLU feature maps are channel-unit-normalized, squared-differenced,
+    reduced by non-negative 1x1 "lin" heads, spatially averaged and summed.
+
+    Weights arrive as a plain state dict with keys ``conv{i}.weight``,
+    ``conv{i}.bias`` (torchvision AlexNet shapes) and ``lin{i}.weight``
+    ([1, C_i, 1, 1]) for i in 1..5 — the tensors the lpips package would
+    download, saved locally with ``torch.save``.
+    """
+
+    # lpips' ScalingLayer constants (input normalization in [-1,1] space).
+    _SHIFT = (-0.030, -0.088, -0.188)
+    _SCALE = (0.458, 0.448, 0.450)
+
+    def __init__(self, state):
+        import torch
+
+        self._torch = torch
+        self.convs = [
+            (state[f"conv{i}.weight"].float(), state[f"conv{i}.bias"].float())
+            for i in range(1, 6)
+        ]
+        self.lins = [state[f"lin{i}.weight"].float() for i in range(1, 6)]
+        for i, ((w, _), spec) in enumerate(zip(self.convs, LPIPS_ALEX_CONVS)):
+            if tuple(w.shape) != (spec[0], spec[1], spec[2], spec[2]):
+                raise ValueError(f"conv{i+1} weight shape {tuple(w.shape)} "
+                                 f"!= expected {spec}")
+
+    def _features(self, x):
+        import torch.nn.functional as F
+
+        t = self._torch
+        shift = t.tensor(self._SHIFT).view(1, 3, 1, 1)
+        scale = t.tensor(self._SCALE).view(1, 3, 1, 1)
+        h = (x - shift) / scale
+        feats = []
+        for i, ((w, b), spec) in enumerate(zip(self.convs, LPIPS_ALEX_CONVS)):
+            if i in (1, 2):  # max-pools sit before conv2 and conv3
+                h = F.max_pool2d(h, kernel_size=3, stride=2)
+            h = F.relu(F.conv2d(h, w, b, stride=spec[3], padding=spec[4]))
+            feats.append(h)
+        return feats
+
+    def __call__(self, x, y):
+        t = self._torch
+        with t.no_grad():
+            total = t.zeros(())
+            for fx, fy, lin in zip(self._features(x), self._features(y),
+                                   self.lins):
+                nx = fx / (fx.square().sum(1, keepdim=True).sqrt() + 1e-10)
+                ny = fy / (fy.square().sum(1, keepdim=True).sqrt() + 1e-10)
+                d = (nx - ny).square()
+                total = total + (d * lin.clamp(min=0)).sum(1).mean()
+        return float(total)
+
+
+def default_lpips_weights_path() -> str:
+    """Local AlexNet+lin weight file consulted by LpipsScorer. Override with
+    $INDOOR_NERF_LPIPS_WEIGHTS."""
+    return os.environ.get(
+        "INDOOR_NERF_LPIPS_WEIGHTS",
+        os.path.expanduser("~/.cache/indoor_nerf_tpu/lpips_alex.pt"),
+    )
+
+
 class LpipsScorer:
     """LPIPS(alex) scorer; silently unavailable without pretrained weights.
 
     The reference uses the lpips package with the AlexNet backbone
-    (evaluation_utils.py:18-20). That needs downloaded weights; in a
-    zero-egress environment we degrade to None scores rather than fake them.
+    (evaluation_utils.py:18-20). That package needs downloaded weights; here
+    the resolution order is (1) the lpips package if importable, (2) a local
+    weight file (``weights_path`` arg, $INDOOR_NERF_LPIPS_WEIGHTS, or
+    ~/.cache/indoor_nerf_tpu/lpips_alex.pt) driving the native torch
+    implementation above, (3) unavailable — scores degrade to None rather
+    than being faked, and GMSD ships as ``lpips_proxy``.
     """
 
-    def __init__(self):
+    def __init__(self, weights_path: Optional[str] = None):
         self._model = None
         self.available = False
         try:  # pragma: no cover - depends on environment weights
@@ -128,20 +216,28 @@ class LpipsScorer:
 
             self._model = lpips.LPIPS(net="alex")
             self.available = True
+            return
         except Exception:
-            self.available = False
+            pass
+        path = weights_path or default_lpips_weights_path()
+        if os.path.exists(path):
+            import torch
+
+            state = torch.load(path, map_location="cpu", weights_only=True)
+            self._model = _NativeLpipsAlex(state)
+            self.available = True
 
     def __call__(self, img: np.ndarray, gt: np.ndarray) -> Optional[float]:
         if not self.available:
             return None
-        import torch  # pragma: no cover
+        import torch
 
         def prep(x):
             t = torch.from_numpy(np.asarray(x, np.float32) * 2.0 - 1.0)
             return t.permute(2, 0, 1)[None]
 
         with torch.no_grad():
-            return float(self._model(prep(img), prep(gt)).item())
+            return float(self._model(prep(img), prep(gt)))
 
 
 def device_memory_stats() -> Dict[str, float]:
