@@ -305,11 +305,21 @@ def combine_structural_losses(
     )
 
     total = manhattan + planarity + consistency
+    # Wall-direction clustering rides along as a diagnostic (the reference
+    # computes it inside detect_planes and discards it,
+    # structural_priors.py:157-190): the angle between the two dominant wall
+    # directions reads ~90 deg in a well-formed Manhattan scene, so drift is
+    # visible in the trainer's prior log line.
+    clusters = cluster_wall_normals(normals[:, :2], semantic["wall_mask"])
+    c1, c2 = _normalize(clusters["wall_1"]), _normalize(clusters["wall_2"])
+    wall_angle = jnp.degrees(jnp.arccos(jnp.clip(jnp.abs(c1 @ c2), 0.0, 1.0)))
     diag = {
         "manhattan": manhattan,
         "planarity": planarity,
         "normal_consistency": consistency,
         "semantic_floor_count": semantic["n_floor"],
         "semantic_wall_count": semantic["n_wall"],
+        "wall_cluster_angle_deg": jnp.where(
+            semantic["n_wall"] >= 2, wall_angle, jnp.float32(jnp.nan)),
     }
     return total, diag

@@ -93,6 +93,13 @@ def build_parser() -> argparse.ArgumentParser:
     # hash encoding
     add("--finest_res", type=int, default=512)
     add("--log2_hashmap_size", type=int, default=19)
+    add("--n_levels", type=int, default=16,
+        help="grid levels (reference hard-codes 16, hash_encoding.py:28). "
+             "Extension: fewer levels x more features at equal parameter "
+             "budget halve the (point, level) row count that bounds the "
+             "TPU encode (BENCH_NOTES.md scatter-transaction wall)")
+    add("--feats_per_level", type=int, default=2,
+        help="features per grid level (reference hard-codes 2)")
     add("--sparse-loss-weight", type=float, default=1e-10, dest="sparse_loss_weight")
     add("--tv-loss-weight", type=float, default=1e-6, dest="tv_loss_weight")
     add("--distortion_loss_weight", type=float, default=0.0,

@@ -246,6 +246,8 @@ def train_step(
                     "manhattan": z, "planarity": z, "normal_consistency": z,
                     "semantic_floor_count": jnp.zeros((), jnp.int32),
                     "semantic_wall_count": jnp.zeros((), jnp.int32),
+                    "wall_cluster_angle_deg": jnp.full((), jnp.nan,
+                                                       jnp.float32),
                 }
 
             structural, diag = jax.lax.cond(

@@ -85,12 +85,14 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
                 f"dataset {args.dataset_type} provides no bounding box; "
                 "grid encodings (--i_embed 1/3) need one — use --i_embed 0"
             )
+    n_levels = getattr(args, "n_levels", 16)
+    feats_per_level = getattr(args, "feats_per_level", 2)
     if args.i_embed == 1:
         grid = HashGridConfig(
             bbox_min=scene.bounding_box[0],
             bbox_max=scene.bounding_box[1],
-            n_levels=16,
-            n_features_per_level=2,
+            n_levels=n_levels,
+            n_features_per_level=feats_per_level,
             log2_hashmap_size=args.log2_hashmap_size,
             base_resolution=16,
             finest_resolution=args.finest_res,
@@ -99,14 +101,20 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
 
         # Match the reference parameter budget: 2^log2T entries ~= rows * 125.
+        # Equal-budget scaling across (L, F): stored floats are
+        # L * R * F * lanes, so rows shrink with L*F relative to the 16x2
+        # reference geometry.
+        lf_shift = int(np.round(np.log2(
+            (n_levels * feats_per_level) / 32.0)))
         block_grid = BlockHashConfig(
             bbox_min=scene.bounding_box[0],
             bbox_max=scene.bounding_box[1],
-            n_levels=16,
-            n_features_per_level=2,
+            n_levels=n_levels,
+            n_features_per_level=feats_per_level,
             # Capacity parity: rows * vertices-per-tile ~= 2^log2T entries.
             log2_rows=max(
-                4, args.log2_hashmap_size - (7 if args.block_size == 4 else 6)
+                4, args.log2_hashmap_size
+                - (7 if args.block_size == 4 else 6) - lf_shift
             ),
             base_resolution=16,
             finest_resolution=args.finest_res,
@@ -384,10 +392,12 @@ def train(args) -> Dict:
     step_fn = make_sharded_train_step(
         cfg, mesh, model_axis=model_axis, state_template=state
     )
-    # Eval renders shard the ray axis over the mesh (render/path.py). With a
-    # model-sharded (TP) table the sharded renderer's replicated in_specs
-    # don't apply — fall back to the plain jit renderer there.
-    eval_mesh = mesh if model_axis is None else None
+    # Eval renders shard the ray axis over the FULL mesh (render/path.py).
+    # With a model-sharded (TP) table, the sharded renderer keeps the table
+    # spec and all_gathers it once per dispatch (parallel/sp.py) — no more
+    # single-device fallback.
+    eval_mesh = mesh
+    eval_model_axis = model_axis
 
     # Ray samplers (reference: run_nerf.py:899-1004). In batched mode the
     # hot path is served by the native C++ double-buffered batcher when the
@@ -513,6 +523,20 @@ def train(args) -> Dict:
             lr=lr, quantizer_bits=quant_bits,
         )
 
+        # Structural-prior diagnostics, including the wall-direction cluster
+        # angle (~90 deg in a well-formed Manhattan scene; the reference
+        # computes the clusters and discards them, structural_priors.py:157-190).
+        if (args.use_structural_priors and i % args.i_print == 0
+                and i >= args.structural_loss_start_iter
+                and "structural_manhattan" in m):
+            angle = float(m.get("structural_wall_cluster_angle_deg", np.nan))
+            print(f"[PRIOR] manhattan: {float(m['structural_manhattan']):.4g} "
+                  f"planarity: {float(m['structural_planarity']):.4g} "
+                  f"consistency: {float(m['structural_normal_consistency']):.4g} "
+                  f"floor/wall px: {int(m['structural_semantic_floor_count'])}/"
+                  f"{int(m['structural_semantic_wall_count'])} "
+                  f"wall-angle: {angle:.1f} deg")
+
         dt = now - iteration_start_time
         time_metrics["iterations_per_second"].append(1.0 / dt if dt > 0 else 0)
         iteration_start_time = now
@@ -633,7 +657,7 @@ def train(args) -> Dict:
                 scene.render_poses, scene.hwf, K, test_config,
                 state.get("ema") or state["params"], scene.near, scene.far,
                 quant_state=state["quant"], occ_state=state.get("occ"),
-                save_figures=False, mesh=eval_mesh,
+                save_figures=False, mesh=eval_mesh, model_axis=eval_model_axis,
             )
             print("Done, saving", rgbs.shape, disps.shape)
             if is_main:
@@ -656,7 +680,7 @@ def train(args) -> Dict:
                 gt_imgs=scene.images[scene.i_test],
                 savedir=testsavedir if is_main else None,
                 quant_state=state["quant"], occ_state=state.get("occ"),
-                mesh=eval_mesh,
+                mesh=eval_mesh, model_axis=eval_model_axis,
             )
             print("Saved test set")
             if psnrs:

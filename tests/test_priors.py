@@ -147,3 +147,39 @@ def test_combiner_never_fails_on_degenerate_normals(rng):
 
     g = jax.grad(loss_fn)(jnp.asarray(rng.normal(size=(n, 3)), jnp.float32))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_wall_cluster_angle_diagnostic(rng):
+    """cluster_wall_normals is wired into the combiner diagnostics: two
+    orthogonal wall families read ~90 deg; parallel walls read ~0 deg."""
+    from indoor_nerf_tpu.losses.priors import cluster_wall_normals
+
+    def walls(dirs, n=80):
+        m = []
+        for d in dirs:
+            v = np.tile(np.array(d + (0.0,), np.float32), (n, 1))
+            m.append(v + 0.02 * rng.normal(size=(n, 3)).astype(np.float32))
+        nm = np.concatenate(m)
+        return nm / np.linalg.norm(nm, axis=-1, keepdims=True)
+
+    ortho = walls([(1.0, 0.0), (0.0, 1.0)])
+    mask = jnp.ones(ortho.shape[0], bool)
+    c = cluster_wall_normals(jnp.asarray(ortho[:, :2]), mask)
+    a = np.degrees(np.arccos(abs(float(
+        np.dot(c["wall_1"] / np.linalg.norm(c["wall_1"]),
+               c["wall_2"] / np.linalg.norm(c["wall_2"]))))))
+    assert a > 80.0, a
+
+    key = jax.random.PRNGKey(0)
+    depth = jnp.ones(ortho.shape[0])
+    w = {k: jnp.asarray(1.0) for k in
+         ("manhattan", "planarity", "normal_consistency")}
+    _, diag = combine_structural_losses(key, depth, jnp.asarray(ortho),
+                                        None, w, CFG)
+    assert "wall_cluster_angle_deg" in diag
+    assert float(diag["wall_cluster_angle_deg"]) > 80.0
+
+    para = walls([(1.0, 0.0), (-1.0, 0.0)])
+    _, diag_p = combine_structural_losses(key, depth, jnp.asarray(para),
+                                          None, w, CFG)
+    assert float(diag_p["wall_cluster_angle_deg"]) < 20.0
