@@ -351,7 +351,15 @@ def encode_position(
             table, quant_state = _quantize_block_table(
                 table, quant_state, config, train, step
             )
-        feats, keep = block_hash_encode(x, table, config.block_grid)
+        from indoor_nerf_tpu.parallel.tp import current_block_tp
+
+        tp = current_block_tp()
+        if tp is not None:
+            from indoor_nerf_tpu.parallel.tp import tp_block_encode
+
+            feats, keep = tp_block_encode(x, table, config.block_grid, *tp)
+        else:
+            feats, keep = block_hash_encode(x, table, config.block_grid)
         return feats, keep, quant_state
     feats = positional_encode(x, config.multires)
     return feats, jnp.ones(x.shape[0], jnp.bool_), quant_state

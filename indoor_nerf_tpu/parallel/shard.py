@@ -21,6 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from indoor_nerf_tpu.parallel.tp import block_tp_context
 from indoor_nerf_tpu.train.step import TrainConfig, train_step
 
 
@@ -102,7 +103,18 @@ def make_sharded_train_step(
         jit_kwargs["donate_argnums"] = (0,)
     jitted = jax.jit(step, **jit_kwargs)
 
+    # Block-hash TP: with a model axis, route the step's encodes through the
+    # shard_map'd level-sharded encode (parallel/tp.py::tp_block_encode) so
+    # table gathers AND the backward scatter stay local to each level block —
+    # only activations cross the model axis. The context is live on every
+    # call so (re)traces inside jit see it; the compiled program caches it.
+    tp_ctx = (model_axis is not None
+              and config.render.field.i_embed == 3)
+
     def run(state, batch, key, prior_weights=None):
+        if tp_ctx:
+            with block_tp_context(mesh, data_axis, model_axis):
+                return jitted(state, batch, key, prior_weights)
         return jitted(state, batch, key, prior_weights)
 
     return run

@@ -14,7 +14,7 @@ explicitly.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional  # noqa: F401
 
 import jax
 import jax.numpy as jnp
@@ -32,20 +32,34 @@ def make_sharded_image_renderer(
     mesh: Mesh,
     data_axis: str = "data",
     tile_rays: int = 8192,
+    model_axis: Optional[str] = None,
 ):
     """A mesh-parallel full-image renderer.
 
     Returns render_fn(params, c2w, K, near, far[, quant_state, occ_state])
-    -> {rgb_map [H,W,3], depth_map, acc_map, disp_map}. Params/state are
-    replicated; the ray axis is sharded over ``data_axis``.
+    -> {rgb_map [H,W,3], depth_map, acc_map, disp_map}. The ray axis is
+    sharded over EVERY mesh axis (a 4x2 data x model mesh renders 8 distinct
+    ray shards). With ``model_axis`` set, params arrive with the hash table
+    level-sharded over that axis (the TP training layout, parallel/tp.py);
+    each device all_gathers the table once per dispatch over ICI and renders
+    its ray shard with the full table — eval renders are gather-once, not
+    per-sample TP (one ~tens-of-MB gather per image vs per-tile activation
+    exchanges). Everything else is replicated.
     """
-    n_dev = mesh.shape[data_axis]
+    all_axes = tuple(mesh.axis_names)
+    n_dev = int(np.prod([mesh.shape[a] for a in all_axes]))
     n = H * W
     chunk = tile_rays * n_dev
     n_pad = (n + chunk - 1) // chunk * chunk
 
     def local_render(params, quant_state, occ_state, ro, rd, vd, nr, fr):
         # Shapes here are per-device shards [n_pad/n_dev, .].
+        if model_axis is not None:
+            params = dict(params)
+            params["table"] = jax.lax.all_gather(
+                params["table"], model_axis, axis=0, tiled=True
+            )
+
         def tile_fn(args):
             t_ro, t_rd, t_vd, t_nr, t_fr = args
             out, _ = render_rays(
@@ -83,13 +97,25 @@ def make_sharded_image_renderer(
         def padded(x):
             return jnp.pad(x, ((0, pad), (0, 0)))
 
+        ray_spec = P(all_axes, None)
+        if model_axis is None:
+            params_spec = P()
+        else:
+            # Match the TP training layout: the table leaf is level-sharded
+            # over the model axis, every other param replicated.
+            def leaf_spec(path, leaf):
+                keys = [getattr(pp, "key", getattr(pp, "idx", None))
+                        for pp in path]
+                return P(model_axis, None) if "table" in keys else P()
+
+            params_spec = jax.tree_util.tree_map_with_path(leaf_spec, params)
         body = jax.shard_map(
             functools.partial(local_render),
             mesh=mesh,
-            in_specs=(P(), P(), P(), P(data_axis, None), P(data_axis, None),
-                      P(data_axis, None) if viewdirs is not None else P(),
-                      P(data_axis, None), P(data_axis, None)),
-            out_specs=P(data_axis),
+            in_specs=(params_spec, P(), P(), ray_spec, ray_spec,
+                      ray_spec if viewdirs is not None else P(),
+                      ray_spec, ray_spec),
+            out_specs=P(all_axes),
             check_vma=False,
         )
         out = body(

@@ -40,6 +40,7 @@ def render_path(
     tile_rays: int = 16384,
     save_figures: bool = True,
     mesh=None,
+    model_axis=None,
     image_renderer=None,
     pose_block: int = 4,
 ) -> Tuple[np.ndarray, np.ndarray, List[float]]:
@@ -104,6 +105,7 @@ def render_path(
         single = make_sharded_image_renderer(
             config, int(H), int(W), mesh,
             data_axis=mesh.axis_names[0], tile_rays=tile,
+            model_axis=model_axis,
         )
         block = 1
         render_block = _wrap_single(single)
