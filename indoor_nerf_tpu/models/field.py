@@ -83,6 +83,16 @@ class FieldConfig:
     # quantization
     use_quantization: bool = False
     quant: QuantConfig = QuantConfig()
+    # FreeNeRF-style frequency annealing (Yang et al., CVPR 2023): ramp the
+    # ACTIVE grid levels linearly over this many steps (0 = off). Extension
+    # aimed at the few-shot radiance-ambiguity failure the reference's
+    # geometric priors do not address (BENCH_NOTES.md few-shot study):
+    # early training sees only coarse levels, so the field commits to
+    # low-frequency structure before the fine hashed levels can memorize
+    # per-view radiance. Applied to the grid encodings (i_embed 1/3) as a
+    # per-level feature mask inside the jitted step; eval renders (step
+    # None) always use every level.
+    freq_anneal_iters: int = 0
     # MLP compute precision: "float32" or "bfloat16" (params stay f32
     # masters; matmuls cast inputs/weights with f32 accumulation)
     compute_dtype: str = "float32"
@@ -325,6 +335,33 @@ def _quantize_block_table(
     return out, new_state
 
 
+def level_anneal_weights(step: jnp.ndarray, n_levels: int,
+                         anneal_iters: int) -> jnp.ndarray:
+    """Per-level feature weights for FreeNeRF-style frequency annealing.
+
+    Level l's weight is ``clip(progress * (L-1) + 1 - l, 0, 1)`` with
+    ``progress = step / anneal_iters`` — level 0 is always fully active, the
+    frontier level fades in linearly, and all levels are active from
+    ``anneal_iters`` on (the linear schedule of FreeNeRF eq. 3-4 applied to
+    grid levels instead of PE bands)."""
+    progress = jnp.clip(step / float(anneal_iters), 0.0, 1.0)
+    l = jnp.arange(n_levels, dtype=jnp.float32)
+    return jnp.clip(progress * (n_levels - 1) + 1.0 - l, 0.0, 1.0)
+
+
+def _apply_level_anneal(feats: jnp.ndarray, config: FieldConfig,
+                        step: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mask ``[N, L*F]`` grid features by the anneal schedule (no-op when
+    annealing is off or no step is traced, i.e. eval renders)."""
+    if config.freq_anneal_iters <= 0 or step is None:
+        return feats
+    grid_cfg = config.block_grid if config.i_embed == 3 else config.grid
+    L = grid_cfg.n_levels
+    F = grid_cfg.n_features_per_level
+    w = level_anneal_weights(step, L, config.freq_anneal_iters)
+    return (feats.reshape(-1, L, F) * w[None, :, None]).reshape(feats.shape)
+
+
 def encode_position(
     x: jnp.ndarray,
     params: Params,
@@ -342,7 +379,9 @@ def encode_position(
                 corner_feats, quant_state, config, train, step
             )
         feats = trilinear_interp(corner_feats, weights)
-        return feats.reshape(x.shape[0], config.grid.out_dim), keep, quant_state
+        feats = _apply_level_anneal(
+            feats.reshape(x.shape[0], config.grid.out_dim), config, step)
+        return feats, keep, quant_state
     if config.i_embed == 3:
         # TPU-native block-hash path: A-CAQ fake-quant applies to the table
         # itself (see _quantize_block_table — identical math, far cheaper).
@@ -360,7 +399,7 @@ def encode_position(
             feats, keep = tp_block_encode(x, table, config.block_grid, *tp)
         else:
             feats, keep = block_hash_encode(x, table, config.block_grid)
-        return feats, keep, quant_state
+        return _apply_level_anneal(feats, config, step), keep, quant_state
     feats = positional_encode(x, config.multires)
     return feats, jnp.ones(x.shape[0], jnp.bool_), quant_state
 
@@ -450,7 +489,7 @@ def query_field(
         enc = (block_hash_encode_grouped if bg.ray_groups is not None
                else block_hash_encode_strided)
         feats3, keep2 = enc(pts, table, bg)
-        feats = feats3.reshape(r * s, -1)
+        feats = _apply_level_anneal(feats3.reshape(r * s, -1), config, step)
         keep = keep2.reshape(r * s)
     else:
         feats, keep, quant_state = encode_position(

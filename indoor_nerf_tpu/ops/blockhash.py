@@ -66,6 +66,10 @@ USE_PALLAS_SCATTER = True
 # Tuning knobs for the Pallas scatter (swept in BENCH_NOTES.md).
 PALLAS_SCATTER_CHUNK = 2048
 PALLAS_SCATTER_ACC = "float32"
+# Exact within-window run-length dedup before the scatter (VERDICT r2 #1):
+# segment-sums consecutive same-row cotangent entries on the VPU and skips
+# the merged entries in the kernel. Measured result in BENCH_NOTES.md.
+PALLAS_SCATTER_MERGE = False
 # Test hook: run the Pallas scatter in interpreter mode off-TPU so the
 # integrated backward path is exercised by the CPU test suite.
 _FORCE_PALLAS_SCATTER_INTERPRET = False
@@ -459,12 +463,19 @@ def _scatter_cot(cot: jnp.ndarray, flat_row: jnp.ndarray, n_levels: int,
             scatter_add_table,
         )
 
+        # Scoped-VMEM budget (16 MB counts the double-buffered cot chunks
+        # on top of the [R, W] f32 accumulator): wide rows (W=256, the
+        # F=4 / 5^3-tile layouts) halve the chunk so acc 8 MB + 2x1 MB
+        # chunks stay under the limit (measured OOM at chunk 2048, W=256,
+        # R=8192: 18.04 MB requested).
+        chunk = PALLAS_SCATTER_CHUNK if W <= 128 else PALLAS_SCATTER_CHUNK // 2
         sub = scatter_add_table(
             cot, flat_row, n_levels, R,
             interpret=not on_tpu,
-            chunk=PALLAS_SCATTER_CHUNK,
+            chunk=chunk,
             acc_dtype=PALLAS_SCATTER_ACC,
             level0=level0,
+            merge_consecutive=PALLAS_SCATTER_MERGE,
         )
         if n_levels == config.n_levels:
             return sub

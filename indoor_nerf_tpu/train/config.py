@@ -100,6 +100,11 @@ def build_parser() -> argparse.ArgumentParser:
              "TPU encode (BENCH_NOTES.md scatter-transaction wall)")
     add("--feats_per_level", type=int, default=2,
         help="features per grid level (reference hard-codes 2)")
+    add("--freq_anneal_iters", type=int, default=0,
+        help="FreeNeRF-style frequency annealing: ramp active grid levels "
+             "linearly over this many steps (0 = off). Extension targeting "
+             "few-shot radiance-ambiguity overfitting (models/field.py::"
+             "level_anneal_weights)")
     add("--sparse-loss-weight", type=float, default=1e-10, dest="sparse_loss_weight")
     add("--tv-loss-weight", type=float, default=1e-6, dest="tv_loss_weight")
     add("--distortion_loss_weight", type=float, default=0.0,

@@ -154,6 +154,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         use_quantization=args.use_quantization,
         quant=quant,
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
+        freq_anneal_iters=getattr(args, "freq_anneal_iters", 0),
     )
     occupancy = None
     if getattr(args, "use_occupancy", False):

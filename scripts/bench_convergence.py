@@ -55,6 +55,11 @@ def main():
                          "shared-tile exact grouping (blockhash.py)")
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
+    ap.add_argument("--n_levels", type=int, default=16)
+    ap.add_argument("--feats_per_level", type=int, default=2,
+                    help="with --n_levels: level geometry at EQUAL float "
+                         "budget (rows rescale by 32/(L*F) vs the 16x2 "
+                         "reference geometry)")
     ap.add_argument("--eval_every", type=int, default=100,
                     help="held-out PSNR eval cadence (0 disables)")
     ap.add_argument("--eval_rays", type=int, default=8192,
@@ -87,9 +92,13 @@ def main():
             base_resolution=16, finest_resolution=512,
         )
     else:
+        lf_shift = int(round(np.log2(
+            (args.n_levels * args.feats_per_level) / 32.0)))
         block_grid = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-            n_levels=16, log2_rows=12 if args.block_size == 4 else 13,
+            n_levels=args.n_levels,
+            n_features_per_level=args.feats_per_level,
+            log2_rows=(12 if args.block_size == 4 else 13) - lf_shift,
             base_resolution=16, finest_resolution=512,
             gather_dtype="bfloat16" if args.block_io == "bf16" else "float32",
             scatter_dtype="bfloat16" if args.block_io == "bf16" else "float32",

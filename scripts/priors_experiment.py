@@ -46,6 +46,9 @@ def main():
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
                     help="distortion-loss weights to sweep (extension arm)")
+    ap.add_argument("--freq_anneal_iters", type=int, default=500,
+                    help="anneal arm: FreeNeRF-style level ramp length")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
 
@@ -71,7 +74,8 @@ def main():
                             n_train=args.n_train)
     H, W, _ = scene["hwf"]
 
-    def run(use_priors: bool, distortion_weight: float = 0.0):
+    def run(use_priors: bool, distortion_weight: float = 0.0,
+            freq_anneal_iters: int = 0):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -80,7 +84,8 @@ def main():
             gather_dtype="bfloat16", scatter_dtype="bfloat16",
         )
         fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0,
-                         predict_normals=use_priors)
+                         predict_normals=use_priors,
+                         freq_anneal_iters=freq_anneal_iters)
         occ = None
         if args.use_occupancy:
             from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
@@ -110,14 +115,14 @@ def main():
             scene["images"], scene["poses"], scene["i_split"][0],
             H, W, scene["K"], cfg.n_rand,
         )
-        state = init_train_state(jax.random.PRNGKey(0), cfg)
+        state = init_train_state(jax.random.PRNGKey(args.seed), cfg)
         from indoor_nerf_tpu.train.step import default_prior_weights
 
         pw = {k: jnp.asarray(v * args.weight_scale)
               for k, v in default_prior_weights().items()}
         step_fn = jax.jit(functools.partial(
             train_step, config=cfg, prior_weights=pw))
-        key = jax.random.PRNGKey(1)
+        key = jax.random.PRNGKey(args.seed + 1)
         t0 = time.perf_counter()
         for i in range(args.iters):
             key, sub = jax.random.split(key)
@@ -140,6 +145,8 @@ def main():
         tag = "priors" if use_priors else "baseline"
         if distortion_weight:
             tag += f"+dist{distortion_weight:g}"
+        if freq_anneal_iters:
+            tag += f"+anneal{freq_anneal_iters}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
@@ -152,6 +159,11 @@ def main():
     result = {"config": vars(args), "baseline": run(False)}
     if args.arms in ("all", "priors"):
         result["priors"] = run(True)
+    if args.arms in ("all", "anneal"):
+        result["anneal"] = run(False,
+                               freq_anneal_iters=args.freq_anneal_iters)
+        result["priors+anneal"] = run(
+            True, freq_anneal_iters=args.freq_anneal_iters)
     if args.arms in ("all", "distortion"):
         for w in args.distortion_weights:
             result[f"distortion_{w:g}"] = run(False, distortion_weight=w)

@@ -1,0 +1,102 @@
+"""Same-session serving-frame attribution ladder (the 800^2 FPS push).
+
+Render-FPS through the axon tunnel varies +-25% ACROSS sessions
+(BENCH_NOTES.md measurement hygiene), so every config here is measured in
+ONE process against the same bake. Arms isolate the frame's cost terms:
+coarse guide pass, fine sigma march, pass-2 geo fetch, tile size.
+
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/probe_serving.py \
+    [--res 800] [--frames 8] [--out tpu_serving_ladder.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--res", type=int, default=800)
+    ap.add_argument("--frames", type=int, default=8)
+    ap.add_argument("--pose_block", type=int, default=8)
+    ap.add_argument("--baked_res", type=int, default=256)
+    ap.add_argument("--out", default="tpu_serving_ladder.json")
+    ap.add_argument("--arms", default=(
+        "base:g=4,nf=16,nc=64,k=4;"
+        "nc32:g=4,nf=16,nc=32,k=4;"
+        "g8:g=8,nf=16,nc=64,k=4;"
+        "plain16:g=0,nf=16,nc=0,k=4;"
+        "nf8:g=4,nf=8,nc=64,k=4;"
+        "k1:g=4,nf=16,nc=64,k=1;"
+        "tile32k:g=4,nf=16,nc=64,k=4,tile=32768"))
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import FieldConfig, init_field_params
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.render.baked import (
+        bake_field,
+        make_baked_image_renderer,
+    )
+
+    bb = ((-4.0, -4.0, -4.0), (4.0, 4.0, 4.0))
+    block_grid = BlockHashConfig(bbox_min=bb[0], bbox_max=bb[1],
+                                 n_levels=16, log2_rows=12,
+                                 base_resolution=16, finest_resolution=512)
+    fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0)
+    params = init_field_params(jax.random.PRNGKey(0), fc)
+    baked = bake_field(params, fc, resolution=args.baked_res,
+                       table_dtype="bfloat16")
+    float(baked["voxel_geo"].astype("float32").sum())
+
+    H = W = args.res
+    K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1]],
+                 np.float32)
+    B = args.pose_block
+    c2w = np.eye(4, dtype=np.float32)[:3, :4]
+    c2w[2, 3] = 4.0
+    c2ws = np.stack([c2w.copy() for _ in range(B)])
+    for b in range(B):
+        c2ws[b, 0, 3] += 0.02 * b
+        c2ws[b, 1, 3] -= 0.01 * b
+
+    results = {}
+    for spec in args.arms.split(";"):
+        name, _, kvs = spec.partition(":")
+        kv = dict(p.split("=") for p in kvs.split(","))
+        g = int(kv.get("g", 4))
+        nf = int(kv.get("nf", 16))
+        nc = int(kv.get("nc", 64))
+        k = int(kv.get("k", 4))
+        tile = int(kv.get("tile", 16384))
+        render = make_baked_image_renderer(
+            baked, H, W, tile_rays=tile, n_samples=nf,
+            guided=g, n_coarse=nc, pose_block=B, k_geo=k,
+        )
+        out = render(c2ws, K, 2.0, 6.0)  # compile
+        float(out["rgb_map"].sum())
+        n_calls = max(1, args.frames // B)
+        t0 = time.perf_counter()
+        for _ in range(n_calls):
+            out = render(c2ws, K, 2.0, 6.0)
+            float(out["rgb_map"].sum())
+        dt = time.perf_counter() - t0
+        spf = dt / (n_calls * B)
+        results[name] = {"g": g, "nf": nf, "nc": nc, "k": k, "tile": tile,
+                         "s_per_frame": round(spf, 4),
+                         "fps": round(1.0 / spf, 2)}
+        print(f"{name}: {spf*1e3:.0f} ms/frame ({1/spf:.2f} FPS)",
+              flush=True)
+
+    with open(args.out, "w") as f:
+        json.dump({"res": args.res, "pose_block": B, "arms": results}, f,
+                  indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()

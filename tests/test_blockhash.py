@@ -220,6 +220,7 @@ def test_block_encode_int8_gather(rng, block_size):
     assert float(jnp.sum(jnp.abs(gx))) == 0.0
 
 
+@pytest.mark.slow
 def test_block_encode_strided(rng):
     """Ray-axis decimation (ray_strides): stride-1 everywhere is bitwise
     the plain encode; knot samples of strided levels are exact; along an
@@ -565,6 +566,7 @@ def test_block_encode_grouped_nondivisible_falls_back(rng):
         np.asarray(f0.reshape(6, 10, -1)), np.asarray(fg))
 
 
+@pytest.mark.nightly
 def test_blockhash_grouped_training_converges():
     """End-to-end: the grouped encode trains through train_step."""
     from indoor_nerf_tpu.data.pipeline import BatchedRaySampler

@@ -5,6 +5,7 @@ import os
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 from flax import serialization
 
@@ -99,6 +100,7 @@ def test_best_checkpoint_excluded_from_auto_resume(tmp_path):
         np.asarray(resumed_best["step"]), np.asarray(state["step"]))
 
 
+@pytest.mark.slow
 def test_ema_tracks_params():
     """state['ema'] moves toward the updated params at the configured
     decay and stays off (None) by default."""

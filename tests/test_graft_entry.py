@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -24,6 +26,7 @@ def test_dryrun_multichip_inprocess():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_recovers_from_initialized_backend():
     """The clear_backends recovery path: a child process initializes the CPU
     backend with ONE device (no XLA_FLAGS), then calls dryrun_multichip(8) —

@@ -112,3 +112,68 @@ def test_query_field_jits():
     out = f(params, pts, vd)
     assert out.shape == (4, 8, 4)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_level_anneal_weights_schedule():
+    """FreeNeRF-style level annealing: level 0 always active, frontier fades
+    in linearly, all levels active from anneal_iters on."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import level_anneal_weights
+
+    w0 = np.asarray(level_anneal_weights(jnp.asarray(0), 8, 100))
+    assert w0[0] == 1.0 and np.all(w0[1:] == 0.0)
+    w_half = np.asarray(level_anneal_weights(jnp.asarray(50), 8, 100))
+    assert w_half[0] == 1.0 and w_half[-1] == 0.0
+    assert np.all(np.diff(w_half) <= 0)  # monotone over levels
+    w_done = np.asarray(level_anneal_weights(jnp.asarray(100), 8, 100))
+    assert np.all(w_done == 1.0)
+    assert np.all(np.asarray(
+        level_anneal_weights(jnp.asarray(10**6), 8, 100)) == 1.0)
+
+
+def test_freq_anneal_masks_encode_and_is_noop_when_done(rng):
+    """With annealing on, early-step encodes expose only coarse levels;
+    past anneal_iters (and at eval, step=None) the encode is bit-identical
+    to the unannealed one. Covers the hash, block-hash, and strided paths."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import (
+        FieldConfig,
+        encode_position,
+        init_field_params,
+    )
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.ops.encoding import HashGridConfig
+
+    bb = dict(bbox_min=(-1.0,) * 3, bbox_max=(1.0,) * 3)
+    x = jnp.asarray(rng.uniform(-1, 1, size=(32, 3)), jnp.float32)
+    for fc_base in (
+        FieldConfig(grid=HashGridConfig(n_levels=4, log2_hashmap_size=8,
+                                        finest_resolution=64, **bb),
+                    i_embed=1),
+        FieldConfig(block_grid=BlockHashConfig(n_levels=4, log2_rows=6,
+                                               finest_resolution=64,
+                                               block_size=3, **bb),
+                    i_embed=3),
+    ):
+        fc_ann = dataclasses.replace(fc_base, freq_anneal_iters=100)
+        params = init_field_params(jax.random.PRNGKey(0), fc_base)
+        ref, _, _ = encode_position(x, params, fc_base, None, True,
+                                    jnp.asarray(50))
+        early, _, _ = encode_position(x, params, fc_ann, None, True,
+                                      jnp.asarray(0))
+        F = 2
+        e = np.asarray(early).reshape(32, 4, F)
+        assert np.allclose(e[:, 1:], 0.0)  # only level 0 active at step 0
+        assert np.allclose(e[:, 0], np.asarray(ref).reshape(32, 4, F)[:, 0])
+        done, _, _ = encode_position(x, params, fc_ann, None, True,
+                                     jnp.asarray(100))
+        np.testing.assert_array_equal(np.asarray(done), np.asarray(ref))
+        ev, _, _ = encode_position(x, params, fc_ann, None, False, None)
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(ref))

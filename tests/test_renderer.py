@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from indoor_nerf_tpu.models.field import FieldConfig, init_field_params
 from indoor_nerf_tpu.ops.encoding import HashGridConfig
@@ -67,6 +68,7 @@ def test_render_rays_hierarchical():
     assert out["raw"].shape == (16, 24, 4)
 
 
+@pytest.mark.slow
 def test_render_rays_normals():
     _, rc, params = _setup(n_importance=8, predict_normals=True)
     ro, rd, vd, near, far = _rays(8)

@@ -158,14 +158,13 @@ def test_dp_batch_actually_sharded():
     assert shard_shapes == {(32, 3)}
 
 
-def _block_cfg(scene, scatter_dtype="bfloat16"):
-    import dataclasses as _dc
-
+def _block_cfg(scene, scatter_dtype="bfloat16", log2_rows=8):
     from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
 
     return BlockHashConfig(
         bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
-        n_levels=4, log2_rows=8, base_resolution=16, finest_resolution=64,
+        n_levels=4, log2_rows=log2_rows, base_resolution=16,
+        finest_resolution=64,
         block_size=3, gather_dtype="bfloat16", scatter_dtype=scatter_dtype,
     )
 
@@ -180,13 +179,13 @@ def test_tp_block_encode_matches_single_device():
     from indoor_nerf_tpu.parallel.tp import tp_block_encode
 
     scene = make_synthetic_scene(n_views=2, H=8, W=8)
-    cfg = _block_cfg(scene)
+    cfg = _block_cfg(scene, log2_rows=6)
     key = jax.random.PRNGKey(0)
     table = init_block_table(key, cfg)
     lo = jnp.asarray(cfg.bbox_min)
     hi = jnp.asarray(cfg.bbox_max)
     x = jax.random.uniform(
-        jax.random.PRNGKey(1), (256, 3),
+        jax.random.PRNGKey(1), (64, 3),
         minval=lo - 0.1, maxval=hi + 0.1)  # some out-of-bbox points
 
     mesh = make_mesh(jax.devices(), axis_names=("data", "model"),

@@ -172,3 +172,43 @@ def test_scatter_add_table_ragged_matches_xla():
                   np.asarray(cot[off:off + n]))
         off += n
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-4)
+
+
+def test_merge_consecutive_exact(rng):
+    """The within-window run-length dedup (merge_consecutive) is EXACT: the
+    skiprow kernel over merged entries equals the XLA scatter over the raw
+    stream, on run-structured ids including non-contiguous repeats."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.ops.pallas.table_scatter import (
+        merge_consecutive_rows,
+        scatter_add_table,
+        scatter_add_table_xla,
+    )
+
+    L, R, W = 2, 64, 128
+    n_pts = 256
+    # Run-structured ids: runs of length 1..9 plus an A-B-A trap pattern.
+    ids = []
+    vals = rng.integers(0, R, size=n_pts * 2)
+    i = 0
+    while len(ids) < n_pts:
+        run = int(rng.integers(1, 9))
+        ids.extend([int(vals[i])] * run)
+        i += 1
+    ids = np.asarray(ids[:n_pts], np.int32)
+    ids[5], ids[6], ids[7] = 7, 3, 7  # non-contiguous same-id (A B A)
+    rows = np.stack([ids + l * R for l in range(L)], axis=1).reshape(-1)
+    cot = rng.normal(size=(n_pts * L, W)).astype(np.float32)
+
+    merged, masked = merge_consecutive_rows(
+        jnp.asarray(cot), jnp.asarray(rows), L)
+    # Dedup really removed entries, and total mass is conserved per row.
+    assert int(np.sum(np.asarray(masked) >= 0)) < n_pts * L
+    want = scatter_add_table_xla(jnp.asarray(cot), jnp.asarray(rows), L, R)
+    got = scatter_add_table(
+        jnp.asarray(cot), jnp.asarray(rows), L, R, interpret=True,
+        chunk=128, merge_consecutive=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
