@@ -46,15 +46,21 @@ def main():
     n_rand = 4096
     bbox = 1.5
     bb = ((-bbox,) * 3, (bbox,) * 3)
-    # Flagship layout: 64-vertex (4^3 halo'd) tiles — one 512 B f32 row per
+    # Flagship layout: 64-vertex (4^3 halo'd) tiles — one 1 KiB f32 row per
     # (point, level) — with bfloat16 table IO on both the row gather and the
-    # fused scatter backward. Equal parameter budget to the 5^3/log2_rows-12
-    # layout; measured quality-neutral at convergence (42.1 vs 41.3 dB @1200
-    # iters, convergence_tpu_b3bf16.json) and 1.5x faster per step
-    # (tpu_ablate_b3_bf16.json vs tpu_ablate_step.json).
+    # fused scatter backward. Level geometry is 8 levels x 4 features: at an
+    # EQUAL float budget to the 16x2 layout (2^24 floats either way), halving
+    # the level count halves the scatter-transaction count per sample — the
+    # measured backward wall (~59M rows/s regardless of row bytes,
+    # tpu_probe_bwd.json) — while doubling the row width rides the same
+    # gather/scatter transactions. Measured quality-NEUTRAL at convergence
+    # over 5 paired seeds (mean held-out delta +0.08 dB, mixed sign, within
+    # the +/-0.7 dB seed floor; tpu_level_geometry_seeds.json) and 1.29x
+    # faster end-to-end (85.6k vs 69.6k rays/s in the convergence harness;
+    # step-level probe 91.1k vs 66.5k, tpu_level_geometry.json).
     block_grid = BlockHashConfig(
-        bbox_min=bb[0], bbox_max=bb[1], n_levels=16, log2_rows=13,
-        base_resolution=16, finest_resolution=512,
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=8, n_features_per_level=4,
+        log2_rows=13, base_resolution=16, finest_resolution=512,
         block_size=3, gather_dtype="bfloat16", scatter_dtype="bfloat16",
     )
     occupancy = OccupancyConfig(

@@ -244,7 +244,8 @@ def build_parser() -> argparse.ArgumentParser:
     add("--flagship", action="store_true",
         help="apply the measured-fastest TPU training preset (i_embed 3 "
              "block-hash, block_size 3, bf16 table IO, occupancy-guided "
-             "sampling — BENCH_NOTES.md flagship row, ~27.6k rays/s/chip "
+             "sampling, 8x4 level geometry — BENCH_NOTES.md flagship row, "
+             "~90k rays/s/chip "
              "on v5e). Any config-file/CLI value you set explicitly still "
              "wins. Parity behavior (exact NGP layout, i_embed 1) stays "
              "the default without this flag.")
@@ -267,6 +268,13 @@ FLAGSHIP_PRESET = {
     # on both train and held-out PSNR at 1.47x the throughput
     # (convergence_tpu_transw32.json vs convergence_tpu_stratu.json).
     "occ_weighting": "transmittance",
+    # 8 levels x 4 features at EQUAL float budget to 16x2: halves the
+    # backward's scatter-transaction count (the measured wall,
+    # tpu_probe_bwd.json) — 90.3k vs 66.0k rays/s/chip same-session,
+    # held-out quality-neutral over 5 paired seeds
+    # (tpu_level_geometry_seeds.json).
+    "n_levels": 8,
+    "feats_per_level": 4,
 }
 
 

@@ -41,7 +41,7 @@ def main():
                          "tables regularize few-shot training")
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--arms", default="priors",
-                    choices=["priors", "distortion", "all"],
+                    choices=["priors", "distortion", "anneal", "all"],
                     help="which treatment arms to run against baseline")
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
@@ -164,6 +164,11 @@ def main():
                                freq_anneal_iters=args.freq_anneal_iters)
         result["priors+anneal"] = run(
             True, freq_anneal_iters=args.freq_anneal_iters)
+        # Annealing stacked on the best round-2 anti-overfit lever
+        # (distortion 0.01 held the smallest measured gap, ROUND2.md).
+        result["distortion+anneal"] = run(
+            False, distortion_weight=args.distortion_weights[0],
+            freq_anneal_iters=args.freq_anneal_iters)
     if args.arms in ("all", "distortion"):
         for w in args.distortion_weights:
             result[f"distortion_{w:g}"] = run(False, distortion_weight=w)

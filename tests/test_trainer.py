@@ -77,10 +77,14 @@ def test_flagship_presets():
         assert (a.i_embed, a.block_size, a.block_io, a.use_occupancy,
                 a.N_importance) == (3, 3, "bf16", True, 0), tpu
         assert (a.occ_samples, a.occ_weighting) == (32, "transmittance"), tpu
+        # 8x4 level geometry at equal float budget (round-3 flagship:
+        # halves scatter transactions, tpu_level_geometry_seeds.json).
+        assert (a.n_levels, a.feats_per_level) == (8, 4), tpu
     b = parse_args(["--flagship"])
     assert (b.i_embed, b.block_size, b.block_io, b.use_occupancy) == (
         3, 3, "bf16", True)
     assert (b.occ_samples, b.occ_weighting) == (32, "transmittance")
+    assert (b.n_levels, b.feats_per_level) == (8, 4)
     # Explicit flags beat the preset.
     c = parse_args(["--flagship", "--i_embed", "1"])
     assert c.i_embed == 1
