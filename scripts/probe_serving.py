@@ -73,21 +73,24 @@ def main():
         nc = int(kv.get("nc", 64))
         k = int(kv.get("k", 4))
         tile = int(kv.get("tile", 16384))
+        pb = int(kv.get("pb", B))
+        cw = c2ws[:pb] if pb <= B else np.concatenate(
+            [c2ws] * (-(-pb // B)))[:pb]
         render = make_baked_image_renderer(
             baked, H, W, tile_rays=tile, n_samples=nf,
-            guided=g, n_coarse=nc, pose_block=B, k_geo=k,
+            guided=g, n_coarse=nc, pose_block=pb, k_geo=k,
         )
-        out = render(c2ws, K, 2.0, 6.0)  # compile
+        out = render(cw, K, 2.0, 6.0)  # compile
         float(out["rgb_map"].sum())
-        n_calls = max(1, args.frames // B)
+        n_calls = max(1, args.frames // pb)
         t0 = time.perf_counter()
         for _ in range(n_calls):
-            out = render(c2ws, K, 2.0, 6.0)
+            out = render(cw, K, 2.0, 6.0)
             float(out["rgb_map"].sum())
         dt = time.perf_counter() - t0
-        spf = dt / (n_calls * B)
+        spf = dt / (n_calls * pb)
         results[name] = {"g": g, "nf": nf, "nc": nc, "k": k, "tile": tile,
-                         "s_per_frame": round(spf, 4),
+                         "pose_block": pb, "s_per_frame": round(spf, 4),
                          "fps": round(1.0 / spf, 2)}
         print(f"{name}: {spf*1e3:.0f} ms/frame ({1/spf:.2f} FPS)",
               flush=True)
