@@ -61,6 +61,13 @@ class BakedConfig:
     i_embed_views: int = 2  # view encoding of the trained field
     multires_views: int = 4
     table_dtype: str = "bfloat16"  # storage dtype; compute is f32
+    # Voxel-corner GEO table resolution (0 = same as ``resolution``).
+    # Geo features are smooth relative to density, and the corner table is
+    # the render's largest fetch cost BECAUSE of its size: GB-scale tables
+    # gather at ~34-50M rows/s while sub-100MB tables run 4-10x faster
+    # (BENCH_NOTES.md gather laws). Storing geo at resolution/2 shrinks the
+    # table 8x (4.3 GB -> 537 MB at 256^3) at unchanged row count.
+    geo_resolution: int = 0
 
     @property
     def blocks_per_edge(self) -> int:
@@ -69,6 +76,10 @@ class BakedConfig:
     @property
     def n_blocks(self) -> int:
         return self.blocks_per_edge**3
+
+    @property
+    def geo_res(self) -> int:
+        return self.geo_resolution or self.resolution
 
 
 def _sigma_geo_query(params, config: FieldConfig, mlp_name: str, pts):
@@ -195,6 +206,7 @@ def bake_field(
     train_cameras: Optional[Dict[str, Any]] = None,
     vis_threshold: float = 1e-3,
     vis_subsample: int = 4,
+    geo_resolution: int = 0,
 ) -> Dict[str, Any]:
     """Bake a trained grid field into a block-tile snapshot.
 
@@ -214,6 +226,10 @@ def bake_field(
         raise ValueError("bake_field needs a NeRFSmall-style grid field")
     if resolution % BLOCK != 0:
         raise ValueError(f"resolution must be divisible by {BLOCK}")
+    if geo_resolution and resolution % geo_resolution != 0:
+        # The stride keeps geo vertices an exact subset of bake vertices,
+        # so the coarser table reuses the one vertex sweep (no re-query).
+        raise ValueError("geo_resolution must divide resolution")
     src = config.grid if config.grid is not None else config.block_grid
     bbox_min = tuple(float(v) for v in src.bbox_min)
     bbox_max = tuple(float(v) for v in src.bbox_max)
@@ -227,6 +243,7 @@ def bake_field(
         i_embed_views=config.i_embed_views,
         multires_views=config.multires_views,
         table_dtype=table_dtype,
+        geo_resolution=geo_resolution,
     )
     E = bc.blocks_per_edge
     n_blocks = bc.n_blocks
@@ -340,7 +357,8 @@ def bake_field(
     #    price. Built on device by 8 gathers from the vertex-major pass.
     if geo_dim > 15:
         raise ValueError("voxel-corner rows fit geo_feat_dim <= 15")
-    R = resolution
+    R = bc.geo_res  # corner-table grid (<= bake resolution)
+    vstride = resolution // R  # geo vertex -> bake vertex index stride
     stride = LANES // 8  # 16 lanes per corner
     total = R**3
     n_vchunks = -(-total // chunk)
@@ -357,7 +375,9 @@ def bake_field(
             for dx in (0, 1):
                 for dy in (0, 1):
                     for dz in (0, 1):
-                        vid = ((x + dx) * V + (y + dy)) * V + (z + dz)
+                        vid = (
+                            ((x + dx) * V + (y + dy)) * V + (z + dz)
+                        ) * vstride
                         corner = jnp.take(vg, vid, axis=0)  # [m, geo]
                         parts.append(
                             jnp.pad(corner, ((0, 0), (0, stride - geo_dim)))
@@ -571,7 +591,9 @@ def baked_render_rays(
         k_geo = n_samples
         w_sel = weights
         rel_sel = rel
-    R = bc.resolution
+    R = bc.geo_res
+    if R != bc.resolution:  # corner table on a coarser geo grid
+        rel_sel = rel_sel * (R / bc.resolution)
     v0 = jnp.clip(rel_sel.astype(jnp.int32), 0, R - 1)
     frac = rel_sel - v0.astype(jnp.float32)  # [N, k, 3]
     vox = ((v0[..., 0] * R + v0[..., 1]) * R + v0[..., 2]).reshape(-1)

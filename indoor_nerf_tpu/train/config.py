@@ -219,6 +219,10 @@ def build_parser() -> argparse.ArgumentParser:
              "training discretization")
     add("--render_baked_res", type=int, default=256,
         help="with --render_baked: bake grid resolution")
+    add("--render_baked_geo_res", type=int, default=0,
+        help="with --render_baked: voxel-corner GEO table resolution "
+             "(0 = same as render_baked_res; a divisor, e.g. 128, "
+             "shrinks the pass-2 table 8x for faster gathers)")
     add("--render_guided", type=int, default=4,
         help="with --render_baked: depth-guided coarse factor (0 = "
              "uniform 128-sample march)")

@@ -326,6 +326,7 @@ def train(args) -> Dict:
                 state.get("ema") or state["params"], cfg.render.field,
                 resolution=args.render_baked_res,
                 train_cameras=train_cams,
+                geo_resolution=args.render_baked_geo_res,
             )
             g = args.render_guided
             image_renderer = make_baked_image_renderer(

@@ -30,6 +30,8 @@ def main():
                          "(render/baked.py) instead of the online field")
     ap.add_argument("--baked_res", type=int, default=256,
                     help="baked grid resolution (voxels per edge)")
+    ap.add_argument("--baked_geo_res", type=int, default=0,
+                    help="pass-2 geo table resolution (0 = baked_res)")
     ap.add_argument("--baked_dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8"],
                     help="snapshot table dtype (int8 = log-sigma + "
@@ -102,7 +104,8 @@ def main():
 
         tb = _t.perf_counter()
         baked = bake_field(params, fc, resolution=args.baked_res,
-                           table_dtype=args.baked_dtype)
+                           table_dtype=args.baked_dtype,
+                           geo_resolution=args.baked_geo_res)
         float(baked["voxel_geo"].astype("float32").sum())
         bake_s = _t.perf_counter() - tb
         render = make_baked_image_renderer(
@@ -114,6 +117,7 @@ def main():
             lambda: render(c2w, K, 2.0, 6.0))
         single_call = lambda: render(c2w, K, 2.0, 6.0)
         cfg_out = {"baked_res": args.baked_res, "dtype": args.baked_dtype,
+                   "baked_geo_res": args.baked_geo_res,
                    "n_samples": args.n_samples, "guided": args.guided,
                    "k_geo": args.k_geo,
                    "n_coarse": args.n_coarse if args.guided else None,

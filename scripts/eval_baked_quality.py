@@ -27,6 +27,7 @@ def main():
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--baked_res", type=int, default=256)
+    ap.add_argument("--baked_geo_res", type=int, default=0)
     ap.add_argument("--n_fine", type=int, default=24)
     ap.add_argument("--k_geo_sweep", type=int, nargs="+", default=[8],
                     help="pass-2 top-k values to evaluate (the guided\n"
@@ -103,7 +104,8 @@ def main():
         "near": scene["near"], "far": scene["far"],
     }
     baked = bake_field(state["params"], fc, resolution=args.baked_res,
-                       table_dtype="bfloat16", train_cameras=train_cams)
+                       table_dtype="bfloat16", train_cameras=train_cams,
+                       geo_resolution=args.baked_geo_res)
     float(baked["voxel_geo"].astype("float32").sum())
 
     online = make_image_renderer(rc.test_mode(), H, W, 4096)

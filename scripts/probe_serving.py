@@ -49,9 +49,16 @@ def main():
                                  base_resolution=16, finest_resolution=512)
     fc = FieldConfig(block_grid=block_grid, i_embed=3, n_importance=0)
     params = init_field_params(jax.random.PRNGKey(0), fc)
-    baked = bake_field(params, fc, resolution=args.baked_res,
-                       table_dtype="bfloat16")
-    float(baked["voxel_geo"].astype("float32").sum())
+
+    bakes = {}
+
+    def get_bake(gres):
+        if gres not in bakes:
+            b = bake_field(params, fc, resolution=args.baked_res,
+                           table_dtype="bfloat16", geo_resolution=gres)
+            float(b["voxel_geo"].astype("float32").sum())
+            bakes[gres] = b
+        return bakes[gres]
 
     H = W = args.res
     K = np.array([[0.9 * W, 0, W / 2], [0, 0.9 * W, H / 2], [0, 0, 1]],
@@ -74,10 +81,11 @@ def main():
         k = int(kv.get("k", 4))
         tile = int(kv.get("tile", 16384))
         pb = int(kv.get("pb", B))
+        gres = int(kv.get("gres", 0))
         cw = c2ws[:pb] if pb <= B else np.concatenate(
             [c2ws] * (-(-pb // B)))[:pb]
         render = make_baked_image_renderer(
-            baked, H, W, tile_rays=tile, n_samples=nf,
+            get_bake(gres), H, W, tile_rays=tile, n_samples=nf,
             guided=g, n_coarse=nc, pose_block=pb, k_geo=k,
         )
         out = render(cw, K, 2.0, 6.0)  # compile
@@ -90,6 +98,7 @@ def main():
         dt = time.perf_counter() - t0
         spf = dt / (n_calls * pb)
         results[name] = {"g": g, "nf": nf, "nc": nc, "k": k, "tile": tile,
+                         "gres": gres,
                          "pose_block": pb, "s_per_frame": round(spf, 4),
                          "fps": round(1.0 / spf, 2)}
         print(f"{name}: {spf*1e3:.0f} ms/frame ({1/spf:.2f} FPS)",

@@ -91,7 +91,9 @@ def build(args):
                                resolution=args.baked_res,
                                table_dtype=getattr(args, "baked_dtype",
                                                    "bfloat16"),
-                               train_cameras=train_cams)
+                               train_cameras=train_cams,
+                               geo_resolution=getattr(
+                                   args, "baked_geo_res", 0))
             print(f"baked in {time.perf_counter() - t0:.1f}s")
             if snap:
                 save_baked(snap, baked)
@@ -133,6 +135,8 @@ def main():
                     help="bake the field at startup; serve from the "
                          "deferred-shading snapshot (render/baked.py)")
     ap.add_argument("--baked_res", type=int, default=256)
+    ap.add_argument("--baked_geo_res", type=int, default=0,
+                    help="pass-2 geo table resolution (0 = baked_res)")
     ap.add_argument("--baked_dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8"])
     ap.add_argument("--snapshot", default=None,

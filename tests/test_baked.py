@@ -84,6 +84,76 @@ def test_bake_exact_at_vertices():
     np.testing.assert_allclose(got, np.asarray(geo), rtol=1e-4, atol=1e-5)
 
 
+def test_bake_geo_resolution_subset():
+    """A coarser voxel-corner geo table (geo_resolution = resolution/s) is
+    exactly the strided-vertex subset of the full-res table, and the render
+    path samples it with matching trilinear weights (exact wherever the geo
+    field is trilinear on the coarse grid — checked at coarse vertices)."""
+    fc, params = _tiny_field()
+    full = bake_field(params, fc, resolution=8, table_dtype="float32",
+                      blocks_per_chunk=8)
+    half = bake_field(params, fc, resolution=8, table_dtype="float32",
+                      blocks_per_chunk=8, geo_resolution=4)
+    assert half["voxel_geo"].shape == (4**3, 128)
+    assert half["config"].geo_res == 4
+    # sigma table unaffected by geo_resolution
+    np.testing.assert_array_equal(np.asarray(full["sigma_table"]),
+                                  np.asarray(half["sigma_table"]))
+    # Corner (dx,dy,dz) of coarse voxel (x,y,z) == the field's features at
+    # bake vertex (2(x+dx), 2(y+dy), 2(z+dz)) — compare against the
+    # matching corner rows of the FULL-res table.
+    fullg = np.asarray(full["voxel_geo"]).reshape(8**3, 8, 16)
+    halfg = np.asarray(half["voxel_geo"]).reshape(4**3, 8, 16)
+    rng = np.random.default_rng(1)
+    for _ in range(20):
+        x, y, z = rng.integers(0, 4, size=3)
+        cx, cy, cz = rng.integers(0, 2, size=3)
+        c = cx * 4 + cy * 2 + cz
+        # full-res voxel whose corner-0 is that bake vertex (clip at edge)
+        vx, vy, vz = np.minimum([2 * (x + cx), 2 * (y + cy), 2 * (z + cz)],
+                                7)
+        dx, dy, dz = (2 * (x + cx) - vx, 2 * (y + cy) - vy,
+                      2 * (z + cz) - vz)
+        cf = dx * 4 + dy * 2 + dz
+        np.testing.assert_allclose(
+            halfg[(x * 4 + y) * 4 + z, c],
+            fullg[(vx * 8 + vy) * 8 + vz, cf], rtol=1e-6)
+
+    # Render parity: the two bakes must stay in the same quality class on
+    # arbitrary rays (geo is smooth at this scale, not exactly trilinear,
+    # so allow a small tolerance), and shapes/finiteness must hold.
+    rays_o = jnp.asarray(np.tile([[0.0, 0.0, -3.0]], (64, 1)), jnp.float32)
+    d = np.stack([np.linspace(-0.3, 0.3, 64), np.zeros(64), np.ones(64)],
+                 axis=-1)
+    rays_d = jnp.asarray(d, jnp.float32)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    from indoor_nerf_tpu.render.baked import baked_render_rays
+
+    o_full = baked_render_rays(full, rays_o, rays_d, vd, 0.5, 6.0,
+                               n_samples=32, k_geo=4)
+    o_half = baked_render_rays(half, rays_o, rays_d, vd, 0.5, 6.0,
+                               n_samples=32, k_geo=4)
+    a = np.asarray(o_full["rgb_map"])
+    b = np.asarray(o_half["rgb_map"])
+    assert np.all(np.isfinite(b))
+    # Same weights/acc (sigma path identical); rgb close (geo coarser).
+    np.testing.assert_allclose(np.asarray(o_half["acc_map"]),
+                               np.asarray(o_full["acc_map"]), atol=1e-5)
+    assert float(np.max(np.abs(a - b))) < 0.25
+    # load/save round-trips the new config field; old snapshots without it
+    # default to geo_resolution=0 (full res).
+    import os
+    import tempfile
+
+    from indoor_nerf_tpu.render.baked import load_baked, save_baked
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "half.msgpack")
+        save_baked(p, half)
+        again = load_baked(p)
+    assert again["config"].geo_res == 4
+
+
 @pytest.mark.slow
 @pytest.mark.nightly
 def test_baked_render_matches_online():
