@@ -93,6 +93,18 @@ class FieldConfig:
     # per-level feature mask inside the jitted step; eval renders (step
     # None) always use every level.
     freq_anneal_iters: int = 0
+    # View-dependence annealing (0 = off): scale the encoded view-direction
+    # features by ``clip(step/iters, 0, 1)`` inside the jitted step, so the
+    # first iterations fit a DIFFUSE field and view-dependent radiance can
+    # only explain what geometry could not. This targets the few-shot
+    # radiance-ambiguity failure directly at the appearance level (the
+    # round-2 diagnosis: with 8 views the color net absorbs per-view
+    # radiance through the view branch instead of fixing geometry —
+    # BENCH_NOTES.md few-shot study; frequency annealing above attacks the
+    # same failure from the capacity side and measured as a train-side
+    # memorization suppressor only). Eval renders (step None) always see
+    # full view-dependence.
+    view_anneal_iters: int = 0
     # MLP compute precision: "float32" or "bfloat16" (params stay f32
     # masters; matmuls cast inputs/weights with f32 accumulation)
     compute_dtype: str = "float32"
@@ -502,6 +514,10 @@ def query_field(
         # along a ray: encode the R rays once and broadcast over samples
         # (S-fold less narrow-column stack work than per-sample encoding).
         vf = encode_views(viewdirs, config)  # [R, D]
+        if config.view_anneal_iters > 0 and step is not None:
+            # Diffuse-first ramp (see FieldConfig.view_anneal_iters).
+            vf = vf * jnp.clip(
+                step / float(config.view_anneal_iters), 0.0, 1.0)
         view_feats = jnp.broadcast_to(
             vf[:, None, :], (r, s, vf.shape[-1])
         ).reshape(r * s, -1)

@@ -105,6 +105,11 @@ def build_parser() -> argparse.ArgumentParser:
              "linearly over this many steps (0 = off). Extension targeting "
              "few-shot radiance-ambiguity overfitting (models/field.py::"
              "level_anneal_weights)")
+    add("--view_anneal_iters", type=int, default=0,
+        help="view-dependence annealing: scale encoded view-direction "
+             "features by clip(step/iters, 0, 1) during training (0 = "
+             "off). Extension targeting few-shot radiance ambiguity at "
+             "the appearance level (models/field.py FieldConfig)")
     add("--sparse-loss-weight", type=float, default=1e-10, dest="sparse_loss_weight")
     add("--tv-loss-weight", type=float, default=1e-6, dest="tv_loss_weight")
     add("--distortion_loss_weight", type=float, default=0.0,

@@ -155,6 +155,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         quant=quant,
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
         freq_anneal_iters=getattr(args, "freq_anneal_iters", 0),
+        view_anneal_iters=getattr(args, "view_anneal_iters", 0),
     )
     occupancy = None
     if getattr(args, "use_occupancy", False):

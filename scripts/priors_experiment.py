@@ -41,13 +41,16 @@ def main():
                          "tables regularize few-shot training")
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--arms", default="priors",
-                    choices=["priors", "distortion", "anneal", "all"],
+                    choices=["priors", "distortion", "anneal", "vanneal",
+                             "all"],
                     help="which treatment arms to run against baseline")
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
                     help="distortion-loss weights to sweep (extension arm)")
     ap.add_argument("--freq_anneal_iters", type=int, default=500,
                     help="anneal arm: FreeNeRF-style level ramp length")
+    ap.add_argument("--view_anneal_iters", type=int, default=1000,
+                    help="vanneal arm: view-dependence ramp length")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
@@ -75,7 +78,8 @@ def main():
     H, W, _ = scene["hwf"]
 
     def run(use_priors: bool, distortion_weight: float = 0.0,
-            freq_anneal_iters: int = 0):
+            freq_anneal_iters: int = 0, view_anneal_iters: int = 0,
+            use_viewdirs: bool = True):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -85,7 +89,9 @@ def main():
         )
         fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0,
                          predict_normals=use_priors,
-                         freq_anneal_iters=freq_anneal_iters)
+                         freq_anneal_iters=freq_anneal_iters,
+                         view_anneal_iters=view_anneal_iters,
+                         use_viewdirs=use_viewdirs)
         occ = None
         if args.use_occupancy:
             from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
@@ -147,6 +153,10 @@ def main():
             tag += f"+dist{distortion_weight:g}"
         if freq_anneal_iters:
             tag += f"+anneal{freq_anneal_iters}"
+        if view_anneal_iters:
+            tag += f"+vanneal{view_anneal_iters}"
+        if not use_viewdirs:
+            tag += "+viewoff"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
@@ -169,6 +179,18 @@ def main():
         result["distortion+anneal"] = run(
             False, distortion_weight=args.distortion_weights[0],
             freq_anneal_iters=args.freq_anneal_iters)
+    if args.arms in ("all", "vanneal"):
+        # View-dependence arms (round 3): the room GT is DIFFUSE, so any
+        # learned view-dependence is pure few-shot overfitting. viewoff
+        # is the diagnostic ceiling (no view branch at all); vanneal is
+        # the deployable lever (diffuse-first ramp, full view-dependence
+        # from view_anneal_iters on).
+        result["viewoff"] = run(False, use_viewdirs=False)
+        result["vanneal"] = run(
+            False, view_anneal_iters=args.view_anneal_iters)
+        result["distortion+vanneal"] = run(
+            False, distortion_weight=args.distortion_weights[0],
+            view_anneal_iters=args.view_anneal_iters)
     if args.arms in ("all", "distortion"):
         for w in args.distortion_weights:
             result[f"distortion_{w:g}"] = run(False, distortion_weight=w)

@@ -177,3 +177,63 @@ def test_freq_anneal_masks_encode_and_is_noop_when_done(rng):
         np.testing.assert_array_equal(np.asarray(done), np.asarray(ref))
         ev, _, _ = encode_position(x, params, fc_ann, None, False, None)
         np.testing.assert_array_equal(np.asarray(ev), np.asarray(ref))
+
+
+def test_view_anneal_scales_view_branch(rng):
+    """View-dependence annealing: at step 0 the raw output matches a
+    zeroed-view-features query (diffuse), at/after view_anneal_iters (and
+    at eval, step=None) it is bit-identical to the unannealed query, and
+    sigma is untouched at every step (the ramp feeds only the color net)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import (
+        FieldConfig,
+        init_field_params,
+        query_field,
+    )
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+
+    bg = BlockHashConfig(bbox_min=(-1.0,) * 3, bbox_max=(1.0,) * 3,
+                         n_levels=4, log2_rows=6, finest_resolution=64,
+                         block_size=3)
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    fc_ann = dataclasses.replace(fc, view_anneal_iters=100)
+    params = init_field_params(jax.random.PRNGKey(0), fc)
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(8, 4, 3)), jnp.float32)
+    vd = rng.normal(size=(8, 3))
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True),
+                     jnp.float32)
+
+    ref, _ = query_field(params, "coarse", pts, vd, fc, None, True,
+                         jnp.asarray(50))
+    early, _ = query_field(params, "coarse", pts, vd, fc_ann, None, True,
+                           jnp.asarray(0))
+    # sigma (last channel) never changes; rgb differs (views suppressed).
+    np.testing.assert_array_equal(np.asarray(early[..., 3]),
+                                  np.asarray(ref[..., 3]))
+    assert not np.allclose(np.asarray(early[..., :3]),
+                           np.asarray(ref[..., :3]))
+    # step 0 == all view directions equivalent (diffuse): two different
+    # direction sets give identical raw output.
+    vd2 = jnp.asarray(np.roll(np.asarray(vd), 1, axis=0))
+    early2, _ = query_field(params, "coarse", pts, vd2, fc_ann, None, True,
+                            jnp.asarray(0))
+    np.testing.assert_array_equal(np.asarray(early), np.asarray(early2))
+    # ramp midpoint actually interpolates (neither diffuse nor full).
+    mid, _ = query_field(params, "coarse", pts, vd, fc_ann, None, True,
+                         jnp.asarray(50))
+    assert not np.allclose(np.asarray(mid), np.asarray(early))
+    assert not np.allclose(np.asarray(mid), np.asarray(ref))
+    # done + eval are bit-identical to the unannealed query.
+    done, _ = query_field(params, "coarse", pts, vd, fc_ann, None, True,
+                          jnp.asarray(100))
+    np.testing.assert_array_equal(np.asarray(done), np.asarray(ref))
+    ev_ref, _ = query_field(params, "coarse", pts, vd, fc, None, False,
+                            None)
+    ev_ann, _ = query_field(params, "coarse", pts, vd, fc_ann, None, False,
+                            None)
+    np.testing.assert_array_equal(np.asarray(ev_ann), np.asarray(ev_ref))
