@@ -105,6 +105,17 @@ class FieldConfig:
     # memorization suppressor only). Eval renders (step None) always see
     # full view-dependence.
     view_anneal_iters: int = 0
+    # Per-image appearance latents (0 = off): a zero-init [n_appearance,
+    # input_ch_views] table whose rows are ADDED to the encoded view
+    # directions of that image's training rays (NeRF-W-style appearance
+    # embedding, Martin-Brualla et al., CVPR 2021, applied in view-feature
+    # space so MLP shapes are unchanged). Models per-image exposure /
+    # white-balance residuals in real captures — the failure the iPhone
+    # pipeline's EV normalization (PocketNeRF notebook cell 5) only
+    # partially removes. Zero-init = exact no-op at start; eval renders
+    # pass no image ids and see the unbiased view encoding (the NeRF-W
+    # "mean embedding" eval convention for a zero-mean-init table).
+    n_appearance: int = 0
     # MLP compute precision: "float32" or "bfloat16" (params stay f32
     # masters; matmuls cast inputs/weights with f32 accumulation)
     compute_dtype: str = "float32"
@@ -190,6 +201,12 @@ def init_field_params(key: jax.Array, config: FieldConfig) -> Params:
                 output_ch=5,
                 use_viewdirs=config.use_viewdirs,
             )
+    if config.n_appearance > 0 and config.use_viewdirs:
+        # Zero-init: training starts bit-identical to the no-appearance
+        # field; rows only move where a train image's rays demand it.
+        params["appearance"] = jnp.zeros(
+            (config.n_appearance, config.input_ch_views), jnp.float32
+        )
     return params
 
 
@@ -465,6 +482,7 @@ def query_field(
     quant_state: Optional[QuantState] = None,
     train: bool = True,
     step: Optional[jnp.ndarray] = None,
+    view_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Optional[QuantState]]:
     """Query the radiance field on a ``[R, S, 3]`` sample grid.
 
@@ -472,6 +490,9 @@ def query_field(
       mlp_name: "coarse" or "fine".
       viewdirs: ``[R, 3]`` unit view directions (broadcast over samples,
         reference: run_nerf.py:59-62) or None.
+      view_bias: optional ``[R, D]`` additive bias on the encoded view
+        directions (per-image appearance latents —
+        FieldConfig.n_appearance); None for eval renders.
 
     Returns (raw ``[R, S, C]``, updated quant_state).
     """
@@ -518,6 +539,9 @@ def query_field(
             # Diffuse-first ramp (see FieldConfig.view_anneal_iters).
             vf = vf * jnp.clip(
                 step / float(config.view_anneal_iters), 0.0, 1.0)
+        if view_bias is not None:
+            # Per-image appearance latent (FieldConfig.n_appearance).
+            vf = vf + view_bias
         view_feats = jnp.broadcast_to(
             vf[:, None, :], (r, s, vf.shape[-1])
         ).reshape(r * s, -1)

@@ -68,6 +68,7 @@ def render_rays(
     step: Optional[jnp.ndarray] = None,
     retraw: bool = False,
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+    view_bias: Optional[jnp.ndarray] = None,
 ) -> Tuple[Dict[str, jnp.ndarray], Optional[Dict[str, Any]]]:
     """Render a fixed-size batch of rays (reference: run_nerf.py:414-549).
 
@@ -100,7 +101,8 @@ def render_rays(
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
         mlp_name = "fine" if "fine" in params else "coarse"
         raw, quant_state = query_field(
-            params, mlp_name, pts, viewdirs, fc, quant_state, train, step
+            params, mlp_name, pts, viewdirs, fc, quant_state, train, step,
+            view_bias=view_bias,
         )
         out = raw2outputs(
             raw, z_vals, rays_d,
@@ -137,7 +139,8 @@ def render_rays(
     pts = rays_o[..., None, :] + rays_d[..., None, :] * z_vals[..., :, None]
 
     raw, quant_state = query_field(
-        params, "coarse", pts, viewdirs, fc, quant_state, train, step
+        params, "coarse", pts, viewdirs, fc, quant_state, train, step,
+        view_bias=view_bias,
     )
     out = raw2outputs(
         raw, z_vals, rays_d,
@@ -168,7 +171,8 @@ def render_rays(
 
         fine_name = "fine" if "fine" in params else "coarse"
         raw, quant_state = query_field(
-            params, fine_name, pts, viewdirs, fc, quant_state, train, step
+            params, fine_name, pts, viewdirs, fc, quant_state, train, step,
+            view_bias=view_bias,
         )
         out = raw2outputs(
             raw, z_vals, rays_d,

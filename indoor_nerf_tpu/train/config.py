@@ -105,6 +105,12 @@ def build_parser() -> argparse.ArgumentParser:
              "linearly over this many steps (0 = off). Extension targeting "
              "few-shot radiance-ambiguity overfitting (models/field.py::"
              "level_anneal_weights)")
+    add("--use_appearance", action="store_true",
+        help="per-image appearance latents (NeRF-W-style, zero-init, "
+             "added to the encoded view directions of each train "
+             "image's rays). Extension for real captures with residual "
+             "exposure/white-balance variation; eval renders use the "
+             "unbiased encoding (models/field.py FieldConfig)")
     add("--view_anneal_iters", type=int, default=0,
         help="view-dependence annealing: scale encoded view-direction "
              "features by clip(step/iters, 0, 1) during training (0 = "

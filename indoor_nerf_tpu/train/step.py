@@ -170,11 +170,21 @@ def train_step(
     near = config.near * jnp.ones_like(rays_d[..., :1])
     far = config.far * jnp.ones_like(rays_d[..., :1])
 
+    img_idx = batch.get("img_idx")
+
     def loss_fn(params, quant_state):
+        view_bias = None
+        if (fc.n_appearance > 0 and fc.use_viewdirs
+                and img_idx is not None):
+            # Per-image appearance latent rows for this batch's rays
+            # (FieldConfig.n_appearance; gradient flows to the rows of
+            # the images actually sampled).
+            view_bias = jnp.take(
+                params["appearance"], img_idx.astype(jnp.int32), axis=0)
         out, new_quant = render_rays(
             k_render, params, rays_o, rays_d, viewdirs, near, far, rc,
             quant_state=quant_state, train=True, step=step,
-            occ_state=state["occ"],
+            occ_state=state["occ"], view_bias=view_bias,
         )
         img_loss = jnp.mean((out["rgb_map"] - target) ** 2)
         loss = img_loss

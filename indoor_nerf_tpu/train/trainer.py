@@ -156,6 +156,9 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         compute_dtype="bfloat16" if args.precision == "bf16" else "float32",
         freq_anneal_iters=getattr(args, "freq_anneal_iters", 0),
         view_anneal_iters=getattr(args, "view_anneal_iters", 0),
+        n_appearance=(int(np.asarray(scene.images).shape[0])
+                      if getattr(args, "use_appearance", False)
+                      and args.use_viewdirs else 0),
     )
     occupancy = None
     if getattr(args, "use_occupancy", False):
@@ -430,7 +433,13 @@ def train(args) -> Dict:
                 native_available,
             )
 
-            if native_available():
+            if getattr(args, "use_appearance", False):
+                # The native batcher's ring carries [ro, rd, rgb] rows
+                # only; appearance training needs per-ray image ids, so
+                # it stays on the numpy sampler (appearance runs are
+                # few-shot no_batching in practice anyway).
+                print("[data] numpy batcher (appearance ids needed)")
+            elif native_available():
                 native = NativeRayBatcher(
                     sampler.rays_rgb, local_n_rand, seed=host_seed
                 )

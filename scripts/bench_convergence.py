@@ -54,6 +54,10 @@ def main():
                     help="per-level sample-group sizes, comma list — "
                          "shared-tile exact grouping (blockhash.py)")
     ap.add_argument("--views", type=int, default=16)
+    ap.add_argument("--scene", default="sphere", choices=["sphere", "room"],
+                    help="held-out protocol scene: the checker-sphere "
+                         "orbit or the Manhattan room (diversifies the "
+                         "quality protocol beyond one scene)")
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--feats_per_level", type=int, default=2,
@@ -72,7 +76,10 @@ def main():
     import numpy as np
 
     from indoor_nerf_tpu.data.pipeline import BatchedRaySampler
-    from indoor_nerf_tpu.data.synthetic import make_synthetic_scene
+    from indoor_nerf_tpu.data.synthetic import (
+        make_room_scene,
+        make_synthetic_scene,
+    )
     from indoor_nerf_tpu.models.field import FieldConfig
     from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
     from indoor_nerf_tpu.ops.encoding import HashGridConfig
@@ -83,7 +90,11 @@ def main():
     from indoor_nerf_tpu.render.renderer import RenderConfig
     from indoor_nerf_tpu.train.step import TrainConfig, init_train_state
 
-    scene = make_synthetic_scene(n_views=args.views, H=args.res, W=args.res)
+    if args.scene == "room":
+        scene = make_room_scene(n_views=args.views, H=args.res, W=args.res)
+    else:
+        scene = make_synthetic_scene(n_views=args.views, H=args.res,
+                                     W=args.res)
     grid = block_grid = None
     if args.i_embed == 1:
         grid = HashGridConfig(

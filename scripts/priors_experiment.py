@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--arms", default="priors",
                     choices=["priors", "distortion", "anneal", "vanneal",
-                             "all"],
+                             "appearance", "all"],
                     help="which treatment arms to run against baseline")
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
@@ -79,7 +79,7 @@ def main():
 
     def run(use_priors: bool, distortion_weight: float = 0.0,
             freq_anneal_iters: int = 0, view_anneal_iters: int = 0,
-            use_viewdirs: bool = True):
+            use_viewdirs: bool = True, use_appearance: bool = False):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -91,7 +91,9 @@ def main():
                          predict_normals=use_priors,
                          freq_anneal_iters=freq_anneal_iters,
                          view_anneal_iters=view_anneal_iters,
-                         use_viewdirs=use_viewdirs)
+                         use_viewdirs=use_viewdirs,
+                         n_appearance=(len(scene["images"])
+                                       if use_appearance else 0))
         occ = None
         if args.use_occupancy:
             from indoor_nerf_tpu.ops.occupancy import OccupancyConfig
@@ -157,6 +159,8 @@ def main():
             tag += f"+vanneal{view_anneal_iters}"
         if not use_viewdirs:
             tag += "+viewoff"
+        if use_appearance:
+            tag += "+appearance"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
@@ -191,6 +195,12 @@ def main():
         result["distortion+vanneal"] = run(
             False, distortion_weight=args.distortion_weights[0],
             view_anneal_iters=args.view_anneal_iters)
+    if args.arms == "appearance":
+        # Per-image latents on a constant-exposure synthetic protocol: the
+        # latents are a licensed per-view radiance absorber, so this arm
+        # measures their few-shot COST (the capability targets real
+        # captures with exposure variation).
+        result["appearance"] = run(False, use_appearance=True)
     if args.arms in ("all", "distortion"):
         for w in args.distortion_weights:
             result[f"distortion_{w:g}"] = run(False, distortion_weight=w)

@@ -237,3 +237,94 @@ def test_view_anneal_scales_view_branch(rng):
     ev_ann, _ = query_field(params, "coarse", pts, vd, fc_ann, None, False,
                             None)
     np.testing.assert_array_equal(np.asarray(ev_ann), np.asarray(ev_ref))
+
+
+def test_appearance_latents(rng):
+    """Per-image appearance latents: zero-init is a bit-exact no-op; a
+    nonzero row changes only that image's rays; eval (no view_bias) is
+    unaffected; and the train step moves exactly the sampled rows."""
+    import dataclasses
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.models.field import (
+        FieldConfig,
+        init_field_params,
+        query_field,
+    )
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+
+    bg = BlockHashConfig(bbox_min=(-1.0,) * 3, bbox_max=(1.0,) * 3,
+                         n_levels=4, log2_rows=6, finest_resolution=64,
+                         block_size=3)
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    fc_app = dataclasses.replace(fc, n_appearance=5)
+    params = init_field_params(jax.random.PRNGKey(0), fc_app)
+    assert params["appearance"].shape == (5, fc.input_ch_views)
+    np.testing.assert_array_equal(np.asarray(params["appearance"]), 0.0)
+
+    pts = jnp.asarray(rng.uniform(-1, 1, size=(8, 4, 3)), jnp.float32)
+    vd = rng.normal(size=(8, 3))
+    vd = jnp.asarray(vd / np.linalg.norm(vd, axis=-1, keepdims=True),
+                     jnp.float32)
+    ids = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 4], jnp.int32)
+
+    ref, _ = query_field(params, "coarse", pts, vd, fc, None, True, None)
+    bias0 = jnp.take(params["appearance"], ids, axis=0)
+    with_zero, _ = query_field(params, "coarse", pts, vd, fc_app, None,
+                               True, None, view_bias=bias0)
+    np.testing.assert_array_equal(np.asarray(with_zero), np.asarray(ref))
+
+    # Nonzero row for image 2 changes rays 4-5's rgb only; sigma never.
+    p2 = dict(params)
+    p2["appearance"] = params["appearance"].at[2].set(0.5)
+    bias2 = jnp.take(p2["appearance"], ids, axis=0)
+    out2, _ = query_field(p2, "coarse", pts, vd, fc_app, None, True, None,
+                          view_bias=bias2)
+    a, b = np.asarray(ref), np.asarray(out2)
+    np.testing.assert_array_equal(b[..., 3], a[..., 3])
+    changed = np.any(np.abs(b[..., :3] - a[..., :3]) > 0, axis=1)
+    np.testing.assert_array_equal(
+        np.any(changed, axis=-1), np.asarray([0, 0, 0, 0, 1, 1, 0, 0],
+                                             bool))
+
+    # Train step: gradient reaches exactly the sampled images' rows.
+    from indoor_nerf_tpu.render.renderer import RenderConfig
+    from indoor_nerf_tpu.train.step import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    rc = RenderConfig(field=fc_app, n_samples=8, n_importance=0,
+                      white_bkgd=True)
+    cfg = TrainConfig(render=rc, near=0.5, far=4.0, n_rand=8, lrate=0.01,
+                      tv_loss_weight=0.0)
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    # Aim every ray INTO the bbox (misses carry zero view-feature grad).
+    din = np.asarray(vd).copy()
+    din[:, 2] = np.abs(din[:, 2]) + 1.0
+    din /= np.linalg.norm(din, axis=-1, keepdims=True)
+    batch = {
+        "rays_o": jnp.asarray(np.tile([[0.0, 0.0, -2.0]], (8, 1)),
+                              jnp.float32),
+        "rays_d": jnp.asarray(din, jnp.float32),
+        "target": jnp.asarray(rng.uniform(0, 1, (8, 3)), jnp.float32),
+        "img_idx": ids,
+    }
+    # Rays must HIT density for view-feature grads to be nonzero, and
+    # RAdam makes no update while n_sma < 5 (first ~5 steps, reference
+    # radam.py:78,88) — so bump the table and run several steps.
+    state["params"]["table"] = state["params"]["table"] * 0 + 0.5
+    batch["img_idx"] = jnp.asarray([0, 0, 0, 0, 1, 1, 1, 1], jnp.int32)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+    cur = state
+    for i in range(8):
+        cur, _ = step_fn(cur, batch, jax.random.PRNGKey(10 + i))
+    d2 = np.abs(np.asarray(cur["params"]["appearance"])).max(axis=1)
+    # Only the two sampled images' rows moved.
+    assert np.all(d2[:2] > 0.0), d2
+    assert np.all(d2[2:] == 0.0), d2

@@ -180,3 +180,50 @@ def test_training_with_priors_and_quantization_runs():
     )(None, state["params"], rays_o, rays_d, viewdirs, near, far,
       quant_state=state["quant"])
     assert np.all(np.isfinite(np.asarray(out["rgb_map"])))
+
+
+def test_sampler_img_idx_alignment():
+    """Per-ray image ids (appearance embeddings) stay aligned with their
+    rays through the batched pool's shuffle, epoch reshuffle, and tail
+    wrap: every emitted target pixel must equal a pixel of the image the
+    id claims, on a scene where images are constant-colored."""
+    import numpy as np
+
+    from indoor_nerf_tpu.data.pipeline import (
+        BatchedRaySampler,
+        ImageRaySampler,
+    )
+
+    H = W = 4
+    n_img = 3
+    # Image i is a constant color unique to i.
+    colors = np.asarray([[0.1, 0.2, 0.3], [0.4, 0.5, 0.6], [0.7, 0.8, 0.9]],
+                        np.float32)
+    images = np.tile(colors[:, None, None, :], (1, H, W, 1))
+    poses = np.tile(np.eye(4, dtype=np.float32)[None], (n_img, 1, 1))
+    poses[:, 2, 3] = 2.0
+    K = np.asarray([[4.0, 0, 2.0], [0, 4.0, 2.0], [0, 0, 1]], np.float32)
+    i_train = np.asarray([0, 2])  # absolute ids with a GAP (1 unused)
+
+    s = BatchedRaySampler(images, poses, i_train, H, W, K, n_rand=7)
+    seen = set()
+    # 2 images x 16 rays = 32 pool rows; 12 batches of 7 cross the epoch
+    # boundary twice and exercise the tail wrap (32 % 7 != 0).
+    for _ in range(12):
+        b = s.next()
+        assert b["img_idx"].shape == (7,)
+        for idx, px in zip(b["img_idx"], b["target"]):
+            assert int(idx) in (0, 2)
+            np.testing.assert_allclose(px, colors[int(idx)], rtol=1e-6)
+            seen.add(int(idx))
+    assert seen == {0, 2}
+
+    si = ImageRaySampler(images, poses, i_train, H, W, K, n_rand=5)
+    for step in range(6):
+        b = si.next(step)
+        assert b["img_idx"].shape == (5,)
+        i0 = int(b["img_idx"][0])
+        assert i0 in (0, 2)
+        assert np.all(b["img_idx"] == i0)
+        np.testing.assert_allclose(
+            b["target"], np.tile(colors[i0], (5, 1)), rtol=1e-6)
