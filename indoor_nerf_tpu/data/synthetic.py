@@ -193,7 +193,7 @@ def _render_room(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
 
 def make_room_scene(
     n_views: int = 12, H: int = 64, W: int = 64, seed: int = 0,
-    n_train: Optional[int] = None,
+    n_train: Optional[int] = None, exposure_jitter: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Procedural INDOOR scene: a Manhattan-world room (checker floor, 4
     walls, ceiling, two boxes) viewed from cameras inside it.
@@ -203,6 +203,13 @@ def make_room_scene(
     external data: dominant axis-aligned planes for the Manhattan/
     planarity losses, and an ``n_train`` override for few-shot splits
     (reference protocol: 8 train views, notebook cell 6).
+
+    ``exposure_jitter=j > 0`` scales each TRAIN image by a per-view gain
+    drawn from U(1-j, 1+j) (zero-mean in gain, clipped to [0, 1]) while
+    held-out views stay clean — the per-capture auto-exposure residual of
+    real phone footage that the reference's EV normalization (iPhone
+    notebook cell 5) only partially removes, and the failure mode the
+    per-image appearance latents (FieldConfig.n_appearance) target.
     """
     rng = np.random.default_rng(seed)
     focal = 0.7 * W  # wide-ish lens, indoor
@@ -231,8 +238,14 @@ def make_room_scene(
     if n_train is None:
         n_train = max(1, int(0.8 * n_views))
     idx = np.arange(n_views)
+    images = np.stack(images)
+    if exposure_jitter > 0.0:
+        gains = rng.uniform(1.0 - exposure_jitter, 1.0 + exposure_jitter,
+                            size=n_train).astype(np.float32)
+        images[:n_train] = np.clip(
+            images[:n_train] * gains[:, None, None, None], 0.0, 1.0)
     return {
-        "images": np.stack(images),
+        "images": images,
         "poses": np.stack(poses),
         "hwf": [H, W, focal],
         "K": K,

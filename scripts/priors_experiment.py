@@ -51,6 +51,10 @@ def main():
                     help="anneal arm: FreeNeRF-style level ramp length")
     ap.add_argument("--view_anneal_iters", type=int, default=1000,
                     help="vanneal arm: view-dependence ramp length")
+    ap.add_argument("--exposure_jitter", type=float, default=0.0,
+                    help="per-train-view exposure gain jitter U(1-j,1+j) "
+                         "(held-out views stay clean) — the real-capture "
+                         "failure --use_appearance targets")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
@@ -74,7 +78,8 @@ def main():
     )
 
     scene = make_room_scene(n_views=args.n_views, H=args.res, W=args.res,
-                            n_train=args.n_train)
+                            n_train=args.n_train,
+                            exposure_jitter=args.exposure_jitter)
     H, W, _ = scene["hwf"]
 
     def run(use_priors: bool, distortion_weight: float = 0.0,

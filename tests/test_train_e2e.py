@@ -227,3 +227,26 @@ def test_sampler_img_idx_alignment():
         assert np.all(b["img_idx"] == i0)
         np.testing.assert_allclose(
             b["target"], np.tile(colors[i0], (5, 1)), rtol=1e-6)
+
+
+def test_room_scene_exposure_jitter():
+    """exposure_jitter scales only TRAIN images (per-view gain, clipped);
+    held-out views stay clean; jitter is reproducible per seed."""
+    import numpy as np
+
+    from indoor_nerf_tpu.data.synthetic import make_room_scene
+
+    a = make_room_scene(n_views=6, H=16, W=16, n_train=4)
+    b = make_room_scene(n_views=6, H=16, W=16, n_train=4,
+                        exposure_jitter=0.25)
+    b2 = make_room_scene(n_views=6, H=16, W=16, n_train=4,
+                         exposure_jitter=0.25)
+    assert not np.allclose(a["images"][:4], b["images"][:4])
+    np.testing.assert_array_equal(a["images"][4:], b["images"][4:])
+    np.testing.assert_array_equal(b["images"], b2["images"])
+    assert b["images"].max() <= 1.0 and b["images"].min() >= 0.0
+    # Each jittered view is (up to clipping) a scalar multiple of clean.
+    for i in range(4):
+        mask = (a["images"][i] > 1e-3) & (b["images"][i] < 1.0 - 1e-6)
+        ratio = b["images"][i][mask] / a["images"][i][mask]
+        assert ratio.std() < 1e-4, ratio.std()
