@@ -70,12 +70,20 @@ class NativeRayBatcher:
     same dict of [n_rand] arrays, assembled off-thread in C++.
     """
 
-    def __init__(self, rays_rgb: np.ndarray, n_rand: int, seed: int = 0):
+    def __init__(self, rays_rgb: np.ndarray, n_rand: int, seed: int = 0,
+                 img_ids: np.ndarray = None):
         lib = _load()
         if lib is None:
             raise RuntimeError(f"native batcher unavailable: {_build_error}")
         pool = np.ascontiguousarray(rays_rgb.reshape(rays_rgb.shape[0], -1),
                                     dtype=np.float32)
+        self._has_ids = img_ids is not None
+        if self._has_ids:
+            # Image ids ride the pool as one extra float column (exact up
+            # to 2^24 images) — the C++ server is row-width generic, so
+            # appearance training costs no ABI change.
+            pool = np.ascontiguousarray(np.concatenate(
+                [pool, np.asarray(img_ids, np.float32)[:, None]], axis=1))
         self._pool = pool  # keep alive: C++ borrows the buffer
         self._lib = lib
         self.n_rand = n_rand
@@ -90,12 +98,15 @@ class NativeRayBatcher:
         self._lib.raybatcher_next(
             self._handle, self._out.ctypes.data_as(ctypes.c_void_p)
         )
-        batch = self._out.reshape(self.n_rand, 3, 3)
-        return {
+        batch = self._out[:, :9].reshape(self.n_rand, 3, 3)
+        out = {
             "rays_o": batch[:, 0].copy(),
             "rays_d": batch[:, 1].copy(),
             "target": batch[:, 2].copy(),
         }
+        if self._has_ids:
+            out["img_idx"] = self._out[:, 9].astype(np.int32)
+        return out
 
     @property
     def epoch(self) -> int:

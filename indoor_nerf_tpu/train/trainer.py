@@ -433,15 +433,14 @@ def train(args) -> Dict:
                 native_available,
             )
 
-            if getattr(args, "use_appearance", False):
-                # The native batcher's ring carries [ro, rd, rgb] rows
-                # only; appearance training needs per-ray image ids, so
-                # it stays on the numpy sampler (appearance runs are
-                # few-shot no_batching in practice anyway).
-                print("[data] numpy batcher (appearance ids needed)")
-            elif native_available():
+            if native_available():
                 native = NativeRayBatcher(
-                    sampler.rays_rgb, local_n_rand, seed=host_seed
+                    sampler.rays_rgb, local_n_rand, seed=host_seed,
+                    # Appearance training needs per-ray image ids; they
+                    # ride the pool as an extra float column.
+                    img_ids=(sampler.img_ids
+                             if getattr(args, "use_appearance", False)
+                             else None),
                 )
                 sampler = native
                 print("[data] native C++ ray batcher active")

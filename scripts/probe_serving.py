@@ -24,13 +24,18 @@ def main():
     ap.add_argument("--baked_res", type=int, default=256)
     ap.add_argument("--out", default="tpu_serving_ladder.json")
     ap.add_argument("--arms", default=(
+        # Round-3 ladder: geo-table resolution (gres) is the main arm —
+        # the 4.3 GB corner table gathers in the slow GB-scale regime
+        # (~34-50M rows/s) and shrinks 8x per halving at unchanged row
+        # count. k/nf arms stack on top.
         "base:g=4,nf=16,nc=64,k=4;"
-        "nc32:g=4,nf=16,nc=32,k=4;"
-        "g8:g=8,nf=16,nc=64,k=4;"
-        "plain16:g=0,nf=16,nc=0,k=4;"
+        "gres128:g=4,nf=16,nc=64,k=4,gres=128;"
+        "gres64:g=4,nf=16,nc=64,k=4,gres=64;"
+        "k3:g=4,nf=16,nc=64,k=3;"
+        "k3gres128:g=4,nf=16,nc=64,k=3,gres=128;"
+        "nf12k3gres128:g=4,nf=12,nc=64,k=3,gres=128;"
         "nf8:g=4,nf=8,nc=64,k=4;"
-        "k1:g=4,nf=16,nc=64,k=1;"
-        "tile32k:g=4,nf=16,nc=64,k=4,tile=32768"))
+        "k1:g=4,nf=16,nc=64,k=1"))
     args = ap.parse_args()
 
     import jax

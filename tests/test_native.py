@@ -70,3 +70,24 @@ def test_throughput_sane():
     # far faster than a training step; just ensure it's not pathological
     assert dt / 200 < 5e-3, dt / 200
     b.close()
+
+
+def test_img_ids_ride_along_aligned():
+    """img_ids ride the pool as a 10th float column and stay row-aligned
+    through the C++ shuffle: encode each row's id into its target pixel
+    and check every served (target, img_idx) pair agrees."""
+    n = 512
+    pool = _pool(n, seed=2)
+    ids = np.arange(n, dtype=np.int64) % 37
+    pool[:, 2, 0] = ids.astype(np.float32)  # target.r encodes the id
+    b = NativeRayBatcher(pool, n_rand=64, seed=3, img_ids=ids)
+    for _ in range(12):  # crosses an epoch reshuffle (512/64 = 8)
+        batch = b.next()
+        assert batch["img_idx"].dtype == np.int32
+        np.testing.assert_array_equal(
+            batch["img_idx"].astype(np.float32), batch["target"][:, 0])
+    b.close()
+    # Without ids, the key is absent (numpy-sampler parity).
+    b2 = NativeRayBatcher(pool, n_rand=64, seed=3)
+    assert "img_idx" not in b2.next()
+    b2.close()
