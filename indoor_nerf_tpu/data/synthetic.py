@@ -194,6 +194,7 @@ def _render_room(rays_o: np.ndarray, rays_d: np.ndarray) -> np.ndarray:
 def make_room_scene(
     n_views: int = 12, H: int = 64, W: int = 64, seed: int = 0,
     n_train: Optional[int] = None, exposure_jitter: float = 0.0,
+    jitter_test: bool = False,
 ) -> Dict[str, np.ndarray]:
     """Procedural INDOOR scene: a Manhattan-world room (checker floor, 4
     walls, ceiling, two boxes) viewed from cameras inside it.
@@ -210,6 +211,13 @@ def make_room_scene(
     real phone footage that the reference's EV normalization (iPhone
     notebook cell 5) only partially removes, and the failure mode the
     per-image appearance latents (FieldConfig.n_appearance) target.
+
+    ``jitter_test=True`` additionally jitters the HELD-OUT views with
+    their own independent gains (the real-capture case: a test photo's
+    exposure is unknown too). Scoring such views fairly requires the
+    NeRF-W half-image protocol (render/appearance.py): fit a latent on
+    the left half, score the right half. The per-view gains are returned
+    under ``"exposure_gains"`` for diagnostics.
     """
     rng = np.random.default_rng(seed)
     focal = 0.7 * W  # wide-ish lens, indoor
@@ -239,12 +247,16 @@ def make_room_scene(
         n_train = max(1, int(0.8 * n_views))
     idx = np.arange(n_views)
     images = np.stack(images)
+    gains = np.ones(n_views, np.float32)
     if exposure_jitter > 0.0:
-        gains = rng.uniform(1.0 - exposure_jitter, 1.0 + exposure_jitter,
-                            size=n_train).astype(np.float32)
-        images[:n_train] = np.clip(
-            images[:n_train] * gains[:, None, None, None], 0.0, 1.0)
+        n_jit = n_views if jitter_test else n_train
+        gains[:n_jit] = rng.uniform(
+            1.0 - exposure_jitter, 1.0 + exposure_jitter, size=n_jit
+        ).astype(np.float32)
+        images[:n_jit] = np.clip(
+            images[:n_jit] * gains[:n_jit, None, None, None], 0.0, 1.0)
     return {
+        "exposure_gains": gains,
         "images": images,
         "poses": np.stack(poses),
         "hwf": [H, W, focal],

@@ -1,0 +1,160 @@
+"""Test-time appearance-latent fitting (the NeRF-W half-image protocol).
+
+A model trained with per-image appearance latents
+(``FieldConfig.n_appearance``) has no latent for a held-out view, and on
+real captures the held-out view carries its OWN unknown exposure /
+white-balance. NeRF-W's evaluation protocol (Martin-Brualla et al.,
+CVPR 2021, sec. 5 — referenced by PocketNeRF's iPhone few-shot setting,
+reference: notebooks/iphone_raw_preprocessing.ipynb EV-normalization
+cell) resolves this without leaking the scored pixels: fit a fresh
+latent on the LEFT half of the test image, score PSNR on the RIGHT
+half.
+
+TPU shape of the fitter: the whole optimization is ONE jitted program —
+a fixed subset of left-half rays, ``lax.scan`` over Adam steps on the
+``[D]`` latent with the field parameters closed over as constants — so a
+fit costs one dispatch through the tunnel instead of ``n_steps`` round
+trips. Only the latent is optimized; gradients never reach the field, so
+the protocol cannot train on test pixels.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from indoor_nerf_tpu.ops.rays import get_rays_np
+from indoor_nerf_tpu.render.renderer import RenderConfig, render_rays
+
+
+def _left_half_rays(
+    gt: np.ndarray,
+    c2w: np.ndarray,
+    K: np.ndarray,
+    n_rays: int,
+    seed: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A fixed random subset of rays from the left half of the image.
+
+    Host-side numpy (the subset is part of the eval protocol, not the
+    jitted program). Returns (rays_o [N,3], rays_d [N,3], target [N,3]).
+    """
+    H, W = gt.shape[:2]
+    rays_o, rays_d = get_rays_np(H, W, K, c2w)
+    rng = np.random.default_rng(seed)
+    n_rays = min(n_rays, H * (W // 2))
+    ys = rng.integers(0, H, size=n_rays)
+    xs = rng.integers(0, W // 2, size=n_rays)
+    return (
+        rays_o[ys, xs].astype(np.float32),
+        rays_d[ys, xs].astype(np.float32),
+        np.asarray(gt, np.float32)[ys, xs],
+    )
+
+
+def fit_view_latent(
+    params: Dict[str, Any],
+    c2w: np.ndarray,
+    K: np.ndarray,
+    near: float,
+    far: float,
+    gt: np.ndarray,
+    config: RenderConfig,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+    n_steps: int = 100,
+    n_rays: int = 2048,
+    lrate: float = 0.05,
+    seed: int = 0,
+) -> Tuple[jnp.ndarray, float]:
+    """Fit a single ``[D]`` appearance latent to a view's LEFT half.
+
+    Full-batch Adam over a fixed ``n_rays`` left-half subset, run as one
+    ``lax.scan`` inside one jit. ``params`` are closed over (no gradient
+    flows to the field). Returns (latent ``[D]`` float32, final MSE).
+    """
+    fc = config.field
+    assert fc.use_viewdirs, "appearance latents ride the view encoding"
+    d = fc.input_ch_views
+    ro_np, rd_np, tgt_np = _left_half_rays(gt, np.asarray(c2w), np.asarray(K),
+                                           n_rays, seed)
+    ro = jnp.asarray(ro_np)
+    rd = jnp.asarray(rd_np)
+    tgt = jnp.asarray(tgt_np)
+    vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
+    near_a = jnp.full((ro.shape[0], 1), near, jnp.float32)
+    far_a = jnp.full((ro.shape[0], 1), far, jnp.float32)
+    tcfg = config.test_mode()
+
+    def loss_fn(z):
+        vb = jnp.broadcast_to(z[None, :], (ro.shape[0], d))
+        out, _ = render_rays(
+            None, params, ro, rd, vd, near_a, far_a, tcfg,
+            train=False, occ_state=occ_state, view_bias=vb,
+        )
+        return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    @jax.jit
+    def fit():
+        def body(carry, t):
+            z, m, v = carry
+            loss, g = jax.value_and_grad(loss_fn)(z)
+            m = b1 * m + (1.0 - b1) * g
+            v = b2 * v + (1.0 - b2) * g * g
+            mhat = m / (1.0 - b1 ** (t + 1.0))
+            vhat = v / (1.0 - b2 ** (t + 1.0))
+            z = z - lrate * mhat / (jnp.sqrt(vhat) + eps)
+            return (z, m, v), loss
+        zeros = jnp.zeros((d,), jnp.float32)
+        (z, _, _), losses = jax.lax.scan(
+            body, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.float32)
+        )
+        return z, loss_fn(z)
+
+    z, final = fit()
+    return z, float(final)
+
+
+def right_half_psnr(pred: np.ndarray, gt: np.ndarray) -> float:
+    """PSNR restricted to the right half of the image (the scored half)."""
+    W = gt.shape[1]
+    mse = float(np.mean(
+        (np.asarray(pred, np.float32)[:, W // 2:]
+         - np.asarray(gt, np.float32)[:, W // 2:]) ** 2))
+    return float(-10.0 * np.log10(max(mse, 1e-12)))
+
+
+def eval_view_with_fitted_latent(
+    render_fn,
+    params: Dict[str, Any],
+    c2w: np.ndarray,
+    K: np.ndarray,
+    near: float,
+    far: float,
+    gt: np.ndarray,
+    config: RenderConfig,
+    occ_state: Optional[Dict[str, jnp.ndarray]] = None,
+    **fit_kwargs,
+) -> Dict[str, float]:
+    """Half-image evaluation of one held-out view.
+
+    ``render_fn`` is a ``make_image_renderer`` product (it accepts
+    ``view_bias=``). Returns right-half PSNR with the zero latent and
+    with the fitted latent, plus the fit's final left-half MSE.
+    """
+    z, fit_mse = fit_view_latent(
+        params, c2w, K, near, far, gt, config, occ_state=occ_state,
+        **fit_kwargs,
+    )
+    out0 = render_fn(params, c2w[:3, :4], K, near, far, None, occ_state)
+    outz = render_fn(params, c2w[:3, :4], K, near, far, None, occ_state,
+                     view_bias=z)
+    return {
+        "psnr_right_zero": right_half_psnr(np.asarray(out0["rgb_map"]), gt),
+        "psnr_right_fitted": right_half_psnr(np.asarray(outz["rgb_map"]), gt),
+        "fit_mse_left": fit_mse,
+    }

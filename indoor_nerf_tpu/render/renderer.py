@@ -240,12 +240,14 @@ def _render_image_jit(
     quant_state: Optional[Dict[str, Any]] = None,
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
     c2w_staticcam: Optional[jnp.ndarray] = None,
+    view_bias: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Single-pose render: the B=1 case of _render_pose_block_jit."""
     out = _render_pose_block_jit(
         params, c2w[None], K, near, far, config, H, W, tile_rays,
         quant_state, occ_state,
         None if c2w_staticcam is None else c2w_staticcam[None],
+        view_bias,
     )
     return {k: v[0] for k, v in out.items()}
 
@@ -266,6 +268,7 @@ def _render_pose_block_jit(
     quant_state: Optional[Dict[str, Any]] = None,
     occ_state: Optional[Dict[str, jnp.ndarray]] = None,
     c2ws_staticcam: Optional[jnp.ndarray] = None,
+    view_bias: Optional[jnp.ndarray] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Render a BLOCK of poses in one device dispatch.
 
@@ -275,7 +278,10 @@ def _render_pose_block_jit(
     decomposition). The reference renders pose-at-a-time
     (run_nerf.py:154-215). ``c2ws_staticcam`` visualizes the
     view-direction effect: directions from ``c2ws``, geometry rays from
-    the static cameras (reference: run_nerf.py:122-124)."""
+    the static cameras (reference: run_nerf.py:122-124). ``view_bias``
+    is an optional shared ``[D]`` appearance latent added to every ray's
+    encoded view direction (render "with the appearance of image k" /
+    with a test-time fitted latent — render/appearance.py)."""
     B = c2ws.shape[0]
     rays_o, rays_d = jax.vmap(lambda p: get_rays(H, W, K, p))(c2ws)
     vd_src = None
@@ -309,10 +315,12 @@ def _render_pose_block_jit(
 
     def tile_fn(args):
         ro, rd, vd, nr, fr = args
+        vb = (None if view_bias is None else jnp.broadcast_to(
+            view_bias[None, :], (ro.shape[0], view_bias.shape[-1])))
         out, _ = render_rays(
             None, params, ro, rd, vd, nr, fr,
             config.test_mode(), quant_state=quant_state, train=False,
-            step=None, occ_state=occ_state,
+            step=None, occ_state=occ_state, view_bias=vb,
         )
         return {
             "rgb_map": out["rgb_map"],
@@ -360,7 +368,7 @@ def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 1
     (reference: run_nerf.py:86-151) with lax.map tiling."""
 
     def render_fn(params, c2w, K, near, far, quant_state=None, occ_state=None,
-                  c2w_staticcam=None):
+                  c2w_staticcam=None, view_bias=None):
         return _render_image_jit(
             params,
             jnp.asarray(c2w, jnp.float32),
@@ -375,6 +383,8 @@ def make_image_renderer(config: RenderConfig, H: int, W: int, tile_rays: int = 1
             occ_state,
             None if c2w_staticcam is None
             else jnp.asarray(c2w_staticcam, jnp.float32),
+            None if view_bias is None
+            else jnp.asarray(view_bias, jnp.float32),
         )
 
     return render_fn

@@ -55,6 +55,11 @@ def main():
                     help="per-train-view exposure gain jitter U(1-j,1+j) "
                          "(held-out views stay clean) — the real-capture "
                          "failure --use_appearance targets")
+    ap.add_argument("--jitter_test", action="store_true",
+                    help="jitter HELD-OUT views too (unknown test "
+                         "exposure); appearance arms are then also scored "
+                         "with the NeRF-W half-image protocol (fit latent "
+                         "on left half, PSNR on right half)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
@@ -79,7 +84,8 @@ def main():
 
     scene = make_room_scene(n_views=args.n_views, H=args.res, W=args.res,
                             n_train=args.n_train,
-                            exposure_jitter=args.exposure_jitter)
+                            exposure_jitter=args.exposure_jitter,
+                            jitter_test=args.jitter_test)
     H, W, _ = scene["hwf"]
 
     def run(use_priors: bool, distortion_weight: float = 0.0,
@@ -147,6 +153,7 @@ def main():
 
         render = make_image_renderer(rc.test_mode(), H, W, 4096)
         psnrs = []
+        half_zero, half_fit = [], []
         for i_test in scene["i_split"][2]:
             gt = np.asarray(scene["images"][i_test])
             c2w = np.asarray(scene["poses"][i_test])[:3, :4]
@@ -154,6 +161,21 @@ def main():
                          scene["far"])
             psnrs.append(float(-10 * np.log10(
                 np.mean((np.asarray(out["rgb_map"]) - gt) ** 2))))
+            if args.jitter_test and use_appearance:
+                # Unknown test exposure: the NeRF-W half-image protocol
+                # (render/appearance.py) — fit a latent on the left
+                # half, score the right half.
+                from indoor_nerf_tpu.render.appearance import (
+                    eval_view_with_fitted_latent,
+                )
+
+                half = eval_view_with_fitted_latent(
+                    render, state["params"],
+                    np.asarray(scene["poses"][i_test]), scene["K"],
+                    scene["near"], scene["far"], gt, rc,
+                )
+                half_zero.append(half["psnr_right_zero"])
+                half_fit.append(half["psnr_right_fitted"])
         test_psnr = float(np.mean(psnrs))
         tag = "priors" if use_priors else "baseline"
         if distortion_weight:
@@ -169,11 +191,17 @@ def main():
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
-        return {"train_psnr": round(train_psnr, 2),
-                "test_psnr": round(test_psnr, 2),
-                "gap_db": round(train_psnr - test_psnr, 2),
-                "per_view_test": [round(p, 2) for p in psnrs],
-                "wall_s": round(wall, 1)}
+        res = {"train_psnr": round(train_psnr, 2),
+               "test_psnr": round(test_psnr, 2),
+               "gap_db": round(train_psnr - test_psnr, 2),
+               "per_view_test": [round(p, 2) for p in psnrs],
+               "wall_s": round(wall, 1)}
+        if half_fit:
+            res["half_psnr_zero"] = round(float(np.mean(half_zero)), 2)
+            res["half_psnr_fitted"] = round(float(np.mean(half_fit)), 2)
+            print(f"  half-image: zero-latent {res['half_psnr_zero']:.2f} "
+                  f"fitted {res['half_psnr_fitted']:.2f}", flush=True)
+        return res
 
     result = {"config": vars(args), "baseline": run(False)}
     if args.arms in ("all", "priors"):
