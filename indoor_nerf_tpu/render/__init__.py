@@ -6,3 +6,7 @@ from indoor_nerf_tpu.render.renderer import (
     render_image,
     make_image_renderer,
 )
+from indoor_nerf_tpu.render.appearance import (
+    eval_view_with_fitted_latent,
+    fit_view_latent,
+)

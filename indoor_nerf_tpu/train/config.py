@@ -65,6 +65,11 @@ def build_parser() -> argparse.ArgumentParser:
     add("--render_only", action="store_true")
     add("--render_test", action="store_true")
     add("--render_factor", type=int, default=0)
+    add("--render_fit_appearance", action="store_true",
+        help="with --render_only --render_test: fit a per-view appearance "
+             "latent on each test image's LEFT half and score the RIGHT "
+             "half (NeRF-W half-image protocol, render/appearance.py) — "
+             "for held-out views with unknown exposure")
 
     # precrop
     add("--precrop_iters", type=int, default=0)

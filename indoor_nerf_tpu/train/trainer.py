@@ -25,6 +25,7 @@ Fixed reference bugs (documented divergences):
 from __future__ import annotations
 
 import glob
+import json
 import os
 import pickle
 import time
@@ -306,6 +307,39 @@ def train(args) -> Dict:
             os.makedirs(testsavedir, exist_ok=True)
         savedir = testsavedir if is_main else None
         print("test poses shape", render_poses.shape)
+        if getattr(args, "render_fit_appearance", False) and args.render_test:
+            # NeRF-W half-image protocol (render/appearance.py): fit a
+            # per-view latent on the left half, score the right half —
+            # held-out views with unknown exposure (real captures).
+            from indoor_nerf_tpu.render.appearance import (
+                eval_view_with_fitted_latent,
+            )
+            from indoor_nerf_tpu.render.renderer import make_image_renderer
+
+            Hf, Wf, _ = scene.hwf
+            fit_render = make_image_renderer(test_config, int(Hf), int(Wf))
+            rows = []
+            for vi, i_test in enumerate(np.asarray(scene.i_test)):
+                res = eval_view_with_fitted_latent(
+                    fit_render, state["params"],
+                    np.asarray(scene.poses)[i_test], K, scene.near,
+                    scene.far, np.asarray(scene.images[i_test]),
+                    cfg.render,
+                    occ_state=state.get("occ"),
+                )
+                rows.append(res)
+                print(f"[fit-appearance] view {vi}: right-half PSNR "
+                      f"zero {res['psnr_right_zero']:.2f} -> fitted "
+                      f"{res['psnr_right_fitted']:.2f}")
+            mean_fit = float(np.mean([r["psnr_right_fitted"] for r in rows]))
+            mean_zero = float(np.mean([r["psnr_right_zero"] for r in rows]))
+            print(f"[fit-appearance] mean right-half PSNR: zero "
+                  f"{mean_zero:.2f} fitted {mean_fit:.2f}")
+            if is_main:
+                with open(os.path.join(testsavedir,
+                                       "fit_appearance.json"), "w") as f:
+                    json.dump({"views": rows, "mean_zero": mean_zero,
+                               "mean_fitted": mean_fit}, f, indent=2)
         if getattr(args, "render_baked", False):
             # Bake once (with visibility culling from the train cameras),
             # then render every pose through the depth-guided baked
