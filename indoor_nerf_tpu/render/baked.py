@@ -148,8 +148,12 @@ def _visibility_mask(
     bmin_j = jnp.asarray(bmin)
     bmax_j = jnp.asarray(bmax)
 
+    # params enters as a jit ARGUMENT: a zero-arg closure would fold the
+    # whole table into the program as an MLIR constant — a device->host
+    # fetch of the table at trace time plus a table-sized executable,
+    # both of which crawl (and have crashed) through the axon tunnel.
     @jax.jit
-    def view_weights(grid, c2w):
+    def view_weights(params, grid, c2w):
         rays_o, rays_d = get_rays(H, W, Ks, c2w)
         ro = rays_o.reshape(-1, 3)
         rd = rays_d.reshape(-1, 3)
@@ -177,7 +181,7 @@ def _visibility_mask(
 
     grid = jnp.zeros((R**3,), jnp.float32)
     for vi in range(poses.shape[0]):
-        grid = view_weights(grid, poses[vi])
+        grid = view_weights(params, grid, poses[vi])
 
     keep_cell = (grid >= threshold).reshape(R, R, R)
     # Dilate by one cell (3^3 OR) so coarse-cell boundaries and the
@@ -263,8 +267,9 @@ def bake_field(
     chunk = blocks_per_chunk * LANES
     n_chunks = -(-(V**3) // chunk)
 
+    # params as a jit argument, not a closure constant (see view_weights).
     @jax.jit
-    def bake_vertices():
+    def bake_vertices(params):
         def one_chunk(ci):
             vert_ids = ci * chunk + jnp.arange(chunk, dtype=jnp.int32)
             vert_ids = jnp.minimum(vert_ids, V**3 - 1)
@@ -279,7 +284,7 @@ def bake_field(
         s, g = jax.lax.map(one_chunk, jnp.arange(n_chunks, dtype=jnp.int32))
         return s.reshape(-1)[: V**3], g.reshape(-1, geo_dim)[: V**3]
 
-    vert_sigma, geo_table = bake_vertices()  # [V^3], [V^3, geo]
+    vert_sigma, geo_table = bake_vertices(params)  # [V^3], [V^3, geo]
 
     if train_cameras is not None:
         keep_vert = _visibility_mask(
