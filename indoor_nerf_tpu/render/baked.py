@@ -498,6 +498,7 @@ def baked_render_rays(
     white_bkgd: bool = True,
     k_geo: Optional[int] = 4,
     t_bounds: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    corner_matmul: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
 
@@ -602,22 +603,55 @@ def baked_render_rays(
     v0 = jnp.clip(rel_sel.astype(jnp.int32), 0, R - 1)
     frac = rel_sel - v0.astype(jnp.float32)  # [N, k, 3]
     vox = ((v0[..., 0] * R + v0[..., 1]) * R + v0[..., 2]).reshape(-1)
-    crows = jnp.take(baked["voxel_geo"], vox, axis=0).reshape(
-        n, k_geo, 8, LANES // 8
-    )
-    corner = jnp.asarray(
-        [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
-        jnp.float32,
-    )  # [8, 3] — same corner-major order the bake packs lanes in
-    cw = jnp.where(corner[None, None, :, :] == 1.0, frac[:, :, None, :],
-                   1.0 - frac[:, :, None, :])  # [N, k, 8, 3]
-    cw = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [N, k, 8]
-    cd = (crows.dtype if jnp.issubdtype(crows.dtype, jnp.floating)
-          else jnp.float32)
-    geo = jnp.einsum(
-        "nkcf,nkc->nkf", crows[..., : bc.n_features - 1].astype(cd),
-        cw.astype(cd), preferred_element_type=jnp.float32,
-    )
+    stride = LANES // 8  # lanes per corner in the voxel_geo row
+    geo_dim = bc.n_features - 1
+    if corner_matmul:
+        # Lane-space trilinear contraction. The serving ladder
+        # (tpu_serving_ladder_r3.json) showed pass 2 costs ~27 ms per
+        # selected sample while the voxel_geo GATHER is size-insensitive
+        # (gres arms flat) — the cost is the reshape of every gathered
+        # row's LANE dim into [8, 16] (a Mosaic relayout of all fetched
+        # bytes) plus an 8-wide einsum contraction. This path never
+        # reshapes gathered data: corner weights are computed directly in
+        # lane layout (corner id = lane // 16, corner-major bits), applied
+        # elementwise, and lanes fold into features with one [128, geo]
+        # 0/1 matmul on the MXU.
+        m = vox.shape[0]
+        crows = jnp.take(baked["voxel_geo"], vox, axis=0)  # [M, 128]
+        fr = frac.reshape(m, 3)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
+        cid = lane // stride  # corner id, corner-major c = dx*4 + dy*2 + dz
+        w128 = jnp.float32(1.0)
+        for axis, bit in ((0, cid // 4), (1, (cid // 2) % 2), (2, cid % 2)):
+            f = fr[:, axis: axis + 1]
+            w128 = w128 * jnp.where(bit == 1, f, 1.0 - f)
+        cd = (crows.dtype if jnp.issubdtype(crows.dtype, jnp.floating)
+              else jnp.float32)
+        vals = crows.astype(cd) * w128.astype(cd)  # [M, 128]
+        fold = (jax.lax.broadcasted_iota(jnp.int32, (LANES, geo_dim), 0)
+                % stride
+                == jax.lax.broadcasted_iota(jnp.int32, (LANES, geo_dim), 1)
+                ).astype(cd)
+        geo = jnp.dot(vals, fold, preferred_element_type=jnp.float32)
+        geo = geo.reshape(n, k_geo, geo_dim)
+    else:
+        # Reference-layout contraction (kept for same-session A/B probes).
+        crows = jnp.take(baked["voxel_geo"], vox, axis=0).reshape(
+            n, k_geo, 8, stride
+        )
+        corner = jnp.asarray(
+            [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
+            jnp.float32,
+        )  # [8, 3] — same corner-major order the bake packs lanes in
+        cw = jnp.where(corner[None, None, :, :] == 1.0, frac[:, :, None, :],
+                       1.0 - frac[:, :, None, :])  # [N, k, 8, 3]
+        cw = cw[..., 0] * cw[..., 1] * cw[..., 2]  # [N, k, 8]
+        cd = (crows.dtype if jnp.issubdtype(crows.dtype, jnp.floating)
+              else jnp.float32)
+        geo = jnp.einsum(
+            "nkcf,nkc->nkf", crows[..., :geo_dim].astype(cd),
+            cw.astype(cd), preferred_element_type=jnp.float32,
+        )
     if bc.table_dtype == "int8":
         geo = geo * baked["geo_scale"][None, None, :]
     feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
@@ -665,6 +699,7 @@ def make_baked_image_renderer(
     margin_frac: float = 0.04,
     acc_thresh: float = 0.5,
     pose_block: int = 4,
+    corner_matmul: bool = True,
 ):
     """A jitted full-image renderer over a baked snapshot.
 
@@ -725,7 +760,7 @@ def make_baked_image_renderer(
                 return baked_render_rays(
                     baked_dev, a[0], a[1], a[2], near, far,
                     n_samples=n_s, white_bkgd=white_bkgd, k_geo=k_geo,
-                    t_bounds=tb,
+                    t_bounds=tb, corner_matmul=corner_matmul,
                 )
 
             out = jax.lax.map(tile_fn, args)

@@ -42,7 +42,7 @@ def main():
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--arms", default="priors",
                     choices=["priors", "distortion", "anneal", "vanneal",
-                             "appearance", "all"],
+                             "appearance", "combo", "all"],
                     help="which treatment arms to run against baseline")
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
@@ -227,6 +227,21 @@ def main():
             False, view_anneal_iters=args.view_anneal_iters)
         result["distortion+vanneal"] = run(
             False, distortion_weight=args.distortion_weights[0],
+            view_anneal_iters=args.view_anneal_iters)
+    if args.arms in ("all", "combo"):
+        # Every measured anti-overfit lever stacked (the reference's
+        # thesis is a GAP claim, PocketNeRF/test_structural_v2.sh:26-27;
+        # individual arms each moved it, so the honest upper bound on the
+        # in-tree levers is their combination): distortion + frequency
+        # annealing + view-dependence annealing, with and without the
+        # structural priors.
+        result["combo"] = run(
+            False, distortion_weight=args.distortion_weights[0],
+            freq_anneal_iters=args.freq_anneal_iters,
+            view_anneal_iters=args.view_anneal_iters)
+        result["combo+priors"] = run(
+            True, distortion_weight=args.distortion_weights[0],
+            freq_anneal_iters=args.freq_anneal_iters,
             view_anneal_iters=args.view_anneal_iters)
     if args.arms == "appearance":
         # Per-image latents on a constant-exposure synthetic protocol: the

@@ -87,11 +87,13 @@ def main():
         tile = int(kv.get("tile", 16384))
         pb = int(kv.get("pb", B))
         gres = int(kv.get("gres", 0))
+        cm = bool(int(kv.get("cm", 1)))  # lane-space corner matmul (pass 2)
         cw = c2ws[:pb] if pb <= B else np.concatenate(
             [c2ws] * (-(-pb // B)))[:pb]
         render = make_baked_image_renderer(
             get_bake(gres), H, W, tile_rays=tile, n_samples=nf,
             guided=g, n_coarse=nc, pose_block=pb, k_geo=k,
+            corner_matmul=cm,
         )
         out = render(cw, K, 2.0, 6.0)  # compile
         float(out["rgb_map"].sum())
@@ -103,7 +105,7 @@ def main():
         dt = time.perf_counter() - t0
         spf = dt / (n_calls * pb)
         results[name] = {"g": g, "nf": nf, "nc": nc, "k": k, "tile": tile,
-                         "gres": gres,
+                         "gres": gres, "cm": int(cm),
                          "pose_block": pb, "s_per_frame": round(spf, 4),
                          "fps": round(1.0 / spf, 2)}
         print(f"{name}: {spf*1e3:.0f} ms/frame ({1/spf:.2f} FPS)",

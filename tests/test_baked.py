@@ -84,6 +84,44 @@ def test_bake_exact_at_vertices():
     np.testing.assert_allclose(got, np.asarray(geo), rtol=1e-4, atol=1e-5)
 
 
+def test_corner_matmul_matches_einsum_path():
+    """The lane-space pass-2 contraction (corner weights computed at
+    corner id = lane // 16, lanes folded into features by one [128, geo]
+    0/1 matmul) is numerically the reference-layout einsum contraction —
+    same trilinear weights, same corners, different schedule."""
+    fc, params = _tiny_field()
+    baked = bake_field(params, fc, resolution=8, table_dtype="float32",
+                       blocks_per_chunk=8)
+    rng = np.random.default_rng(3)
+    n = 96
+    o = np.tile([[0.0, 0.0, -3.0]], (n, 1)) + 0.1 * rng.standard_normal(
+        (n, 3))
+    d = np.stack([np.linspace(-0.4, 0.4, n),
+                  0.2 * rng.standard_normal(n), np.ones(n)], axis=-1)
+    rays_o = jnp.asarray(o, jnp.float32)
+    rays_d = jnp.asarray(d, jnp.float32)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    from indoor_nerf_tpu.render.baked import baked_render_rays
+
+    a = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                          n_samples=24, k_geo=4, corner_matmul=True)
+    b = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                          n_samples=24, k_geo=4, corner_matmul=False)
+    np.testing.assert_allclose(np.asarray(a["rgb_map"]),
+                               np.asarray(b["rgb_map"]),
+                               rtol=1e-4, atol=1e-5)
+    # And with every sample selected (k_geo=None) on an int8 bake.
+    baked8 = bake_field(params, fc, resolution=8, table_dtype="int8",
+                        blocks_per_chunk=8)
+    a8 = baked_render_rays(baked8, rays_o, rays_d, vd, 0.5, 6.0,
+                           n_samples=16, k_geo=None, corner_matmul=True)
+    b8 = baked_render_rays(baked8, rays_o, rays_d, vd, 0.5, 6.0,
+                           n_samples=16, k_geo=None, corner_matmul=False)
+    np.testing.assert_allclose(np.asarray(a8["rgb_map"]),
+                               np.asarray(b8["rgb_map"]),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_bake_geo_resolution_subset():
     """A coarser voxel-corner geo table (geo_resolution = resolution/s) is
     exactly the strided-vertex subset of the full-res table, and the render
