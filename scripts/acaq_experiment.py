@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--out", default="acaq_experiment.json")
     args = ap.parse_args()
 
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # INDOOR_NERF_PLATFORM=cpu escapes a wedged TPU backend
+
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -54,6 +54,9 @@ def main():
                          "(same bake / same tunnel conditions) and print "
                          "a second JSON line")
     args = ap.parse_args()
+
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # INDOOR_NERF_PLATFORM=cpu escapes a wedged TPU backend
     if args.tile_rays is None:
         args.tile_rays = (4096 if args.baked
                           else 16384 if args.i_embed == 1 else 2048)

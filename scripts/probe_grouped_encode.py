@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--out", type=str, default="tpu_probe_grouped.json")
     args = ap.parse_args()
 
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # INDOOR_NERF_PLATFORM=cpu escapes a wedged TPU backend
+
     import jax
     import jax.numpy as jnp
 

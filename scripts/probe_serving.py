@@ -38,6 +38,9 @@ def main():
         "k1:g=4,nf=16,nc=64,k=1"))
     args = ap.parse_args()
 
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # INDOOR_NERF_PLATFORM=cpu escapes a wedged TPU backend
+
     import jax
     import numpy as np
 

@@ -151,6 +151,9 @@ def main():
                          "(e.g. --config configs/chair.txt ...)")
     args = ap.parse_args()
 
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # INDOOR_NERF_PLATFORM=cpu escapes a wedged TPU backend
+
     render, step, hw = build(args)
     from indoor_nerf_tpu.data.poses import pose_spherical
 
