@@ -88,21 +88,25 @@ def fit_view_latent(
     far_a = jnp.full((ro.shape[0], 1), far, jnp.float32)
     tcfg = config.test_mode()
 
-    def loss_fn(z):
+    def loss_fn(z, p):
         vb = jnp.broadcast_to(z[None, :], (ro.shape[0], d))
         out, _ = render_rays(
-            None, params, ro, rd, vd, near_a, far_a, tcfg,
+            None, p, ro, rd, vd, near_a, far_a, tcfg,
             train=False, occ_state=occ_state, view_bias=vb,
         )
         return jnp.mean((out["rgb_map"] - tgt) ** 2)
 
     b1, b2, eps = 0.9, 0.999, 1e-8
 
+    # params enters as a jit ARGUMENT: a zero-arg closure would fold the
+    # field's tables into the program as MLIR constants (trace-time
+    # device->host fetch + table-sized executable — the bake-path defect
+    # fixed in render/baked.py, same mechanism).
     @jax.jit
-    def fit():
+    def fit(p):
         def body(carry, t):
             z, m, v = carry
-            loss, g = jax.value_and_grad(loss_fn)(z)
+            loss, g = jax.value_and_grad(loss_fn)(z, p)
             m = b1 * m + (1.0 - b1) * g
             v = b2 * v + (1.0 - b2) * g * g
             mhat = m / (1.0 - b1 ** (t + 1.0))
@@ -113,9 +117,9 @@ def fit_view_latent(
         (z, _, _), losses = jax.lax.scan(
             body, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.float32)
         )
-        return z, loss_fn(z)
+        return z, loss_fn(z, p)
 
-    z, final = fit()
+    z, final = fit(params)
     return z, float(final)
 
 
