@@ -9,13 +9,18 @@ budget, finest_res 512, 64 samples/ray, N_rand 4096) on rays that actually
 traverse the scene bbox — gather loads are the TPU bottleneck and
 out-of-bbox rays would flatter the number. The flagship configuration is
 the TPU-native one: block-hash encoding (--i_embed 3) + occupancy-guided
-sampling (--use_occupancy). For reference, the faithful NGP-layout parity
-path measures ~359 rays/s/chip on v5e and the reference GPU baseline is
-~8.5k rays/s (see tpu_measurements.json and BASELINE.md).
+sampling (--use_occupancy).
 
-Baseline: the reference's inherited HashNeRF claim — 5k iterations in ~10
-min on a GTX 1050 Ti at N_rand=1024 (reference: PocketNeRF/README.md:19) —
-i.e. ~8533 rays/s. The reference publishes no other throughput number.
+Baseline anchor (the denominator of ``vs_baseline``): the reference's
+inherited HashNeRF claim — 5k iterations in ~10 min on a GTX 1050 Ti at
+N_rand=1024 (reference: PocketNeRF/README.md:19) — i.e. ~8533 rays/s. The
+reference publishes no other throughput number; every "NX baseline"
+multiplier quoted in this repo is against this 1050-Ti anchor. A second,
+same-chip yardstick: the faithful NGP-layout parity path (16x2 levels,
+hierarchical 64+128 sampling) measures ~359 rays/s/chip on this v5e
+(tpu_measurements.json train_exact_hier), so the round-3 flagship record
+of 90.7k rays/s/chip (BENCH_r03.json) is ~253x the faithful port — the
+XLA gather/scatter-rate wall the block-hash layout exists to beat.
 """
 
 from __future__ import annotations

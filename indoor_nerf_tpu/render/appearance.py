@@ -11,15 +11,19 @@ latent on the LEFT half of the test image, score PSNR on the RIGHT
 half.
 
 TPU shape of the fitter: the whole optimization is ONE jitted program —
-a fixed subset of left-half rays, ``lax.scan`` over Adam steps on the
-``[D]`` latent with the field parameters closed over as constants — so a
-fit costs one dispatch through the tunnel instead of ``n_steps`` round
-trips. Only the latent is optimized; gradients never reach the field, so
-the protocol cannot train on test pixels.
+``lax.scan`` over Adam steps on the ``[D]`` latent — so a fit costs one
+dispatch through the tunnel instead of ``n_steps`` round trips. The field
+parameters AND the per-view ray batch enter as jit ARGUMENTS (a zero-arg
+closure would fold the tables into the program as MLIR constants and
+retrace for every view's ray subset — the bake-path defect fixed in
+render/baked.py, same mechanism); the compiled program is reused across
+all evaluated views. Only the latent is optimized; gradients never reach
+the field, so the protocol cannot train on test pixels.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -55,6 +59,44 @@ def _left_half_rays(
     )
 
 
+_ADAM_B1, _ADAM_B2, _ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+@functools.partial(jax.jit, static_argnames=("tcfg", "d", "n_steps"))
+def _fit_latent(params, batch, occ_state, lrate, tcfg, d, n_steps):
+    """The one compiled fitter program, shared across every evaluated view.
+
+    ``params`` and the per-view ``batch`` (ro, rd, vd, near_a, far_a, tgt)
+    are jit arguments — nothing view-specific is baked into the executable,
+    so repeated per-view fits reuse this compile (same ray-subset shapes).
+    """
+    ro, rd, vd, near_a, far_a, tgt = batch
+
+    def loss_fn(z, p):
+        vb = jnp.broadcast_to(z[None, :], (ro.shape[0], d))
+        out, _ = render_rays(
+            None, p, ro, rd, vd, near_a, far_a, tcfg,
+            train=False, occ_state=occ_state, view_bias=vb,
+        )
+        return jnp.mean((out["rgb_map"] - tgt) ** 2)
+
+    def body(carry, t):
+        z, m, v = carry
+        loss, g = jax.value_and_grad(loss_fn)(z, params)
+        m = _ADAM_B1 * m + (1.0 - _ADAM_B1) * g
+        v = _ADAM_B2 * v + (1.0 - _ADAM_B2) * g * g
+        mhat = m / (1.0 - _ADAM_B1 ** (t + 1.0))
+        vhat = v / (1.0 - _ADAM_B2 ** (t + 1.0))
+        z = z - lrate * mhat / (jnp.sqrt(vhat) + _ADAM_EPS)
+        return (z, m, v), loss
+
+    zeros = jnp.zeros((d,), jnp.float32)
+    (z, _, _), _losses = jax.lax.scan(
+        body, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.float32)
+    )
+    return z, loss_fn(z, params)
+
+
 def fit_view_latent(
     params: Dict[str, Any],
     c2w: np.ndarray,
@@ -72,8 +114,10 @@ def fit_view_latent(
     """Fit a single ``[D]`` appearance latent to a view's LEFT half.
 
     Full-batch Adam over a fixed ``n_rays`` left-half subset, run as one
-    ``lax.scan`` inside one jit. ``params`` are closed over (no gradient
-    flows to the field). Returns (latent ``[D]`` float32, final MSE).
+    ``lax.scan`` inside one jit. ``params`` and the ray batch are passed as
+    jit arguments (only the latent is optimized; gradients never reach the
+    field), so per-view calls share one compiled program. Returns
+    (latent ``[D]`` float32, final MSE).
     """
     fc = config.field
     assert fc.use_viewdirs, "appearance latents ride the view encoding"
@@ -86,40 +130,10 @@ def fit_view_latent(
     vd = rd / jnp.linalg.norm(rd, axis=-1, keepdims=True)
     near_a = jnp.full((ro.shape[0], 1), near, jnp.float32)
     far_a = jnp.full((ro.shape[0], 1), far, jnp.float32)
-    tcfg = config.test_mode()
+    batch = (ro, rd, vd, near_a, far_a, tgt)
 
-    def loss_fn(z, p):
-        vb = jnp.broadcast_to(z[None, :], (ro.shape[0], d))
-        out, _ = render_rays(
-            None, p, ro, rd, vd, near_a, far_a, tcfg,
-            train=False, occ_state=occ_state, view_bias=vb,
-        )
-        return jnp.mean((out["rgb_map"] - tgt) ** 2)
-
-    b1, b2, eps = 0.9, 0.999, 1e-8
-
-    # params enters as a jit ARGUMENT: a zero-arg closure would fold the
-    # field's tables into the program as MLIR constants (trace-time
-    # device->host fetch + table-sized executable — the bake-path defect
-    # fixed in render/baked.py, same mechanism).
-    @jax.jit
-    def fit(p):
-        def body(carry, t):
-            z, m, v = carry
-            loss, g = jax.value_and_grad(loss_fn)(z, p)
-            m = b1 * m + (1.0 - b1) * g
-            v = b2 * v + (1.0 - b2) * g * g
-            mhat = m / (1.0 - b1 ** (t + 1.0))
-            vhat = v / (1.0 - b2 ** (t + 1.0))
-            z = z - lrate * mhat / (jnp.sqrt(vhat) + eps)
-            return (z, m, v), loss
-        zeros = jnp.zeros((d,), jnp.float32)
-        (z, _, _), losses = jax.lax.scan(
-            body, (zeros, zeros, zeros), jnp.arange(n_steps, dtype=jnp.float32)
-        )
-        return z, loss_fn(z, p)
-
-    z, final = fit(params)
+    z, final = _fit_latent(params, batch, occ_state, jnp.float32(lrate),
+                           config.test_mode(), d, n_steps)
     return z, float(final)
 
 

@@ -87,6 +87,24 @@ def test_fit_recovers_known_latent(trained):
     assert res["psnr_right_fitted"] > res["psnr_right_zero"] + 3.0, res
 
 
+def test_fit_reuses_one_compile_across_views(trained):
+    """Per-view fits must share one compiled program: params and the ray
+    batch are jit ARGUMENTS of the module-level fitter (ADVICE round-3 —
+    a per-call closure retraced for every view)."""
+    from indoor_nerf_tpu.render import appearance
+
+    params, rc, fc, scene, render = trained
+    appearance._fit_latent.clear_cache()
+    for view in (3, 4):
+        c2w = scene["poses"][view]
+        gt = np.asarray(scene["images"][view])
+        fit_view_latent(
+            params, np.asarray(c2w), scene["K"], scene["near"],
+            scene["far"], gt, rc, n_steps=5, n_rays=128, seed=view,
+        )
+    assert appearance._fit_latent._cache_size() == 1
+
+
 def test_fit_view_latent_loss_decreases(trained):
     params, rc, fc, scene, render = trained
     c2w = scene["poses"][4]

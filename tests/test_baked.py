@@ -120,6 +120,18 @@ def test_corner_matmul_matches_einsum_path():
     np.testing.assert_allclose(np.asarray(a8["rgb_map"]),
                                np.asarray(b8["rgb_map"]),
                                rtol=1e-4, atol=1e-5)
+    # And on the shipped DEFAULT bfloat16 bake, where the matmul path adds
+    # one extra bf16 rounding at vals = crows * w128 before the lane fold
+    # (ADVICE round-3) — looser tolerance for that rounding.
+    baked16 = bake_field(params, fc, resolution=8, table_dtype="bfloat16",
+                         blocks_per_chunk=8)
+    a16 = baked_render_rays(baked16, rays_o, rays_d, vd, 0.5, 6.0,
+                            n_samples=24, k_geo=4, corner_matmul=True)
+    b16 = baked_render_rays(baked16, rays_o, rays_d, vd, 0.5, 6.0,
+                            n_samples=24, k_geo=4, corner_matmul=False)
+    np.testing.assert_allclose(np.asarray(a16["rgb_map"]),
+                               np.asarray(b16["rgb_map"]),
+                               rtol=2e-2, atol=2e-3)
 
 
 def test_bake_geo_resolution_subset():

@@ -44,6 +44,30 @@ def test_tp_encode_matches_replicated(shape):
     np.testing.assert_array_equal(np.asarray(keep), np.asarray(keep_want))
 
 
+def test_tp_block_encode_rejects_speed_arms_loudly():
+    """ray_strides/ray_groups are deliberately unsupported under tensor
+    parallelism (parallel/tp.py:189-192; strided TP would need
+    per-level-class subprograms per shard — DIVERGENCES #27). The guard must
+    fail LOUDLY at trace time, never fall back silently to an unstrided
+    program."""
+    from indoor_nerf_tpu.ops.blockhash import BlockHashConfig
+    from indoor_nerf_tpu.parallel.tp import tp_block_encode
+
+    mesh = make_mesh(jax.devices(), ("data", "model"), (4, 2))
+    x = jnp.zeros((8, 3))
+    base = dict(bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0),
+                n_levels=8, log2_rows=6)
+    for arm in (
+        {"ray_strides": (1, 1, 1, 1, 2, 2, 4, 4)},
+        {"ray_groups": (1, 1, 1, 1, 2, 2, 2, 2)},
+    ):
+        cfg = BlockHashConfig(**base, **arm)
+        table = jnp.zeros((cfg.n_levels * cfg.rows_per_level,
+                           cfg.n_features_per_level * 128))
+        with pytest.raises(NotImplementedError, match="tensor.*parallelism"):
+            tp_block_encode(x, table, cfg, mesh)
+
+
 def test_tp_encode_gradients_stay_local():
     """Gradient wrt the sharded table matches the replicated gradient."""
     mesh = make_mesh(jax.devices(), ("data", "model"), (4, 2))
