@@ -47,6 +47,18 @@ class QuantConfig:
     bit_penalty: float = 1e-3
     target_metric: Optional[float] = None  # MGL target; None = MDL mode
     acaq_interval: int = 10
+    # Per-step decay of the loss EMA that feeds the controller (both as the
+    # "current loss" and, through its running minimum, as the MDL anchor).
+    # DIVERGENCE from the reference's raw per-batch statistics
+    # (run_nerf.py:1214-1222 `best_loss * 1.2` over raw batch losses): the
+    # raw minimum over thousands of noisy batch losses is an extreme-value
+    # statistic, so typical batches eventually sit > 1.26x "best" and the
+    # controller ratchets bits to max (measured: avg 32.0 bits at 4000
+    # iters, acaq_experiment_r2_4000.json). An EMA (~1/(1-d) step window)
+    # is a typical-loss anchor: bits shrink while the quantized loss holds
+    # within 20% of the best EMA and grow only when quantization genuinely
+    # degrades it. 0.99 = ~100-step window at per-step updates.
+    loss_ema_decay: float = 0.99
 
 
 def _group(shape, init_bits: float, symmetric: bool) -> QuantState:
@@ -255,6 +267,11 @@ def acaq_controller_update(
       delta -= bit_penalty * bits / 8
       delta *= 1 + (i - n/2) * 0.02     (layer factor)
       soft_bits = clip(soft_bits + delta, min_bits, max_bits)
+
+    ``current_loss``/``best_loss`` are expected to be the EMA'd training
+    loss and its running minimum (train/step.py maintains both; see
+    QuantConfig.loss_ema_decay for why raw batch losses ratchet the MDL
+    mode to max_bits on long runs).
 
     Returns (new_state, new_best_loss, target_metric). Pure: callers gate it
     on ``step % acaq_interval == 0`` with ``lax.cond``.

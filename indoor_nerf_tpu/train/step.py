@@ -84,6 +84,12 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         "opt": init_radam_state(params),
         "step": jnp.zeros((), jnp.int32),
         "best_loss": jnp.asarray(jnp.inf, jnp.float32),
+        # EMA of the per-batch image loss (inf = uninitialized; the first
+        # step adopts the batch loss). best_loss is the running MINIMUM of
+        # this EMA — a typical-loss achievement anchor for the A-CAQ MDL
+        # controller, not an extreme-value statistic of batch noise
+        # (QuantConfig.loss_ema_decay).
+        "loss_ema": jnp.asarray(jnp.inf, jnp.float32),
     }
     fc = config.render.field
     if fc.use_quantization:
@@ -283,12 +289,23 @@ def train_step(
         grads, state["opt"], state["params"], lr, pocketnerf_hyper_fn
     )
 
+    # Loss EMA + its running minimum: the smoothed "current" and "best"
+    # the A-CAQ MDL controller compares (raw batch losses make best_loss an
+    # extreme-value outlier and ratchet bits to max on long runs —
+    # QuantConfig.loss_ema_decay, DIVERGENCES.md).
+    d_ema = fc.quant.loss_ema_decay
+    new_loss_ema = jnp.where(
+        jnp.isinf(state["loss_ema"]),
+        aux["img_loss"],
+        d_ema * state["loss_ema"] + (1.0 - d_ema) * aux["img_loss"],
+    )
+
     new_quant = aux["quant"]
     new_best = state["best_loss"]
     if config.use_acaq and fc.use_quantization:
         def run_controller(q, b):
             new_q, nb, _ = acaq_controller_update(
-                q, aux["img_loss"], b, fc.quant
+                q, new_loss_ema, b, fc.quant
             )
             return new_q, nb
 
@@ -331,7 +348,8 @@ def train_step(
         "occ": new_occ,
         "ema": new_ema,
         "step": step + 1,
-        "best_loss": jnp.minimum(new_best, aux["img_loss"]),
+        "best_loss": jnp.minimum(new_best, new_loss_ema),
+        "loss_ema": new_loss_ema,
     }
 
     psnr = -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0)

@@ -37,6 +37,14 @@ def main():
                          "axon chip before; these reuse the training "
                          "step's exact shapes/index distribution")
     ap.add_argument("--block_size", type=int, default=4, choices=[4, 3])
+    ap.add_argument("--n_levels", type=int, default=16,
+                    help="table levels (the round-3 flagship is 8x4: "
+                         "--n_levels 8 --n_features 4 at log2_rows 13)")
+    ap.add_argument("--n_features", type=int, default=2,
+                    help="features per level")
+    ap.add_argument("--log2_rows", type=int, default=None,
+                    help="rows/level = 2^k (default: 12 for block_size 4, "
+                         "13 for 3)")
     ap.add_argument("--occ_weighting", default="density",
                     choices=["density", "transmittance"])
     ap.add_argument("--occ_samples", type=int, default=None,
@@ -94,8 +102,10 @@ def main():
     elif args.gather_bf16:
         io = dict(gather_dtype="bfloat16")
     block_grid = BlockHashConfig(
-        bbox_min=bb[0], bbox_max=bb[1], n_levels=16,
-        log2_rows=12 if args.block_size == 4 else 13,
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=args.n_levels,
+        n_features_per_level=args.n_features,
+        log2_rows=(args.log2_rows if args.log2_rows is not None
+                   else (12 if args.block_size == 4 else 13)),
         base_resolution=16, finest_resolution=512,
         block_size=args.block_size,
         ray_strides=(tuple(int(v) for v in args.ray_strides.split(","))

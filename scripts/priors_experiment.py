@@ -41,9 +41,12 @@ def main():
                          "tables regularize few-shot training")
     ap.add_argument("--n_levels", type=int, default=16)
     ap.add_argument("--arms", default="priors",
-                    choices=["priors", "distortion", "anneal", "vanneal",
-                             "appearance", "combo", "all"],
-                    help="which treatment arms to run against baseline")
+                    help="which treatment arms to run against baseline: a "
+                         "legacy group name (priors | distortion | anneal | "
+                         "vanneal | appearance | combo | all) or a comma "
+                         "list of atomic arms (appearance, "
+                         "appearance+anneal, combo, combo+appearance, "
+                         "priors_late, fullstack, ...) — see ARM_SPECS")
     ap.add_argument("--distortion_weights", type=float, nargs="+",
                     default=[0.01],
                     help="distortion-loss weights to sweep (extension arm)")
@@ -93,7 +96,8 @@ def main():
 
     def run(use_priors: bool, distortion_weight: float = 0.0,
             freq_anneal_iters: int = 0, view_anneal_iters: int = 0,
-            use_viewdirs: bool = True, use_appearance: bool = False):
+            use_viewdirs: bool = True, use_appearance: bool = False,
+            prior_start: int = None):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -127,7 +131,8 @@ def main():
             # runs keep these on (run_nerf.py:1022-1037).
             tv_loss_weight=1e-6, sparse_loss_weight=1e-10,
             use_structural_priors=use_priors,
-            structural_loss_start_iter=args.start_iter,
+            structural_loss_start_iter=(
+                args.start_iter if prior_start is None else prior_start),
             structural_loss_ramp_iters=args.ramp_iters,
             distortion_loss_weight=distortion_weight,
         )
@@ -191,6 +196,8 @@ def main():
             tag += "+viewoff"
         if use_appearance:
             tag += "+appearance"
+        if use_priors and prior_start is not None:
+            tag += f"@{prior_start}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"gap {train_psnr - test_psnr:.2f} ({wall:.0f}s)",
               flush=True)
@@ -205,6 +212,57 @@ def main():
             print(f"  half-image: zero-latent {res['half_psnr_zero']:.2f} "
                   f"fitted {res['half_psnr_fitted']:.2f}", flush=True)
         return res
+
+    # --- atomic arm specs (comma-list mode) -------------------------------
+    # The round-3 diagnosis localizes the residual few-shot gap at the
+    # RADIANCE level (appearance latents) with a SCHEDULING bug in the
+    # priors x anneal stack: priors starting mid-anneal train the normal
+    # head on coarse (frequency-truncated) geometry. "late" arms delay the
+    # prior start past the anneal end (VERDICT round-3 item 5).
+    w0 = args.distortion_weights[0]
+    A = args.freq_anneal_iters
+    V = args.view_anneal_iters
+    late = max(args.start_iter, A + 100)
+    ARM_SPECS = {
+        "priors": dict(use_priors=True),
+        "anneal": dict(freq_anneal_iters=A),
+        "vanneal": dict(view_anneal_iters=V),
+        "distortion": dict(distortion_weight=w0),
+        "appearance": dict(use_appearance=True),
+        "appearance+anneal": dict(use_appearance=True,
+                                  freq_anneal_iters=A),
+        "appearance+anneal+distortion": dict(
+            use_appearance=True, freq_anneal_iters=A, distortion_weight=w0),
+        "combo": dict(distortion_weight=w0, freq_anneal_iters=A,
+                      view_anneal_iters=V),
+        "combo+appearance": dict(distortion_weight=w0, freq_anneal_iters=A,
+                                 view_anneal_iters=V, use_appearance=True),
+        "priors_late": dict(use_priors=True, prior_start=late),
+        "priors_late+anneal": dict(use_priors=True, freq_anneal_iters=A,
+                                   prior_start=late),
+        # VERDICT round-3 item 5 verbatim: appearance + freq-anneal with
+        # priors delayed past anneal end + distortion.
+        "fullstack": dict(use_priors=True, use_appearance=True,
+                          distortion_weight=w0, freq_anneal_iters=A,
+                          prior_start=late),
+        "fullstack+vanneal": dict(use_priors=True, use_appearance=True,
+                                  distortion_weight=w0, freq_anneal_iters=A,
+                                  view_anneal_iters=V, prior_start=late),
+    }
+    legacy = ("priors", "distortion", "anneal", "vanneal", "appearance",
+              "combo", "all")
+    if args.arms not in legacy:
+        result = {"config": vars(args), "baseline": run(False)}
+        for arm in args.arms.split(","):
+            arm = arm.strip()
+            if arm in ("", "baseline"):
+                continue
+            spec = dict(ARM_SPECS[arm])
+            result[arm] = run(spec.pop("use_priors", False), **spec)
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return
 
     result = {"config": vars(args), "baseline": run(False)}
     if args.arms in ("all", "priors"):
