@@ -47,18 +47,16 @@ class QuantConfig:
     bit_penalty: float = 1e-3
     target_metric: Optional[float] = None  # MGL target; None = MDL mode
     acaq_interval: int = 10
-    # Per-step decay of the loss EMA that feeds the controller (both as the
-    # "current loss" and, through its running minimum, as the MDL anchor).
-    # DIVERGENCE from the reference's raw per-batch statistics
-    # (run_nerf.py:1214-1222 `best_loss * 1.2` over raw batch losses): the
-    # raw minimum over thousands of noisy batch losses is an extreme-value
-    # statistic, so typical batches eventually sit > 1.26x "best" and the
-    # controller ratchets bits to max (measured: avg 32.0 bits at 4000
-    # iters, acaq_experiment_r2_4000.json). An EMA (~1/(1-d) step window)
-    # is a typical-loss anchor: bits shrink while the quantized loss holds
-    # within 20% of the best EMA and grow only when quantization genuinely
-    # degrades it. 0.99 = ~100-step window at per-step updates.
+    # Per-step decay of the quantized-loss EMA fed to the controller as
+    # "current loss" (0.99 = ~100-step window; raw batch losses are too
+    # noisy to threshold at 0.95/1.05). The MDL ANCHOR is separate: an
+    # EMA of the quant-BYPASSED forward's loss on the same batches
+    # (train/step.py state["fp_loss_ema"], updated every controller
+    # interval with decay fp_ref_ema_decay) — see acaq_controller_update
+    # for why any self-tracking anchor (the reference's best_loss * 1.2,
+    # run_nerf.py:1214-1222) is unstable in one direction or the other.
     loss_ema_decay: float = 0.99
+    fp_ref_ema_decay: float = 0.9  # per controller interval (~10 calls)
 
 
 def _group(shape, init_bits: float, symmetric: bool) -> QuantState:
@@ -255,32 +253,41 @@ def average_bits(state: QuantState, config: QuantConfig) -> jnp.ndarray:
 def acaq_controller_update(
     state: QuantState,
     current_loss: jnp.ndarray,
-    best_loss: jnp.ndarray,
+    ref_loss: jnp.ndarray,
     config: QuantConfig,
-) -> Tuple[QuantState, jnp.ndarray, jnp.ndarray]:
+) -> Tuple[QuantState, jnp.ndarray]:
     """One A-CAQ bitwidth-controller step (reference: run_nerf.py:1210-1252).
 
     Per quantizer i (in the reference's flat ordering):
       loss_ratio = loss / target        (target = MGL target, or MDL
-                                         best_loss * 1.2)
+                                         ref_loss * 1.2)
       delta = -0.3 | -0.1 | +0.2        by loss_ratio thresholds 0.95 / 1.05
       delta -= bit_penalty * bits / 8
       delta *= 1 + (i - n/2) * 0.02     (layer factor)
       soft_bits = clip(soft_bits + delta, min_bits, max_bits)
 
-    ``current_loss``/``best_loss`` are expected to be the EMA'd training
-    loss and its running minimum (train/step.py maintains both; see
-    QuantConfig.loss_ema_decay for why raw batch losses ratchet the MDL
-    mode to max_bits on long runs).
+    ``current_loss`` is the EMA'd QUANTIZED training loss; ``ref_loss`` is
+    the EMA'd loss of the SAME model with quantization bypassed (the
+    quant-free forward train/step.py runs every controller interval).
+    DIVERGENCE from the reference's ``best_loss * 1.2`` anchor
+    (run_nerf.py:1214-1222): any SELF-tracking anchor is unstable — the
+    raw running minimum is an extreme-value statistic (typical batches
+    read "worse than target" forever, bits ratchet to max — measured
+    avg 32.0 at 4000 iters), while a smoothed self-anchor reads "better
+    than target" whenever training still improves (bits ratchet to min —
+    measured avg 3.0, held-out -1 dB vs fixed-8). Anchoring on the
+    quant-bypassed forward measures the actual quantization-induced loss
+    inflation, which is the quantity MDL's 1.2x tolerance is ABOUT: bits
+    shrink while quantization costs < ~14% loss inflation, grow beyond
+    ~26%, and equilibrate in between (DIVERGENCES.md #33).
 
-    Returns (new_state, new_best_loss, target_metric). Pure: callers gate it
-    on ``step % acaq_interval == 0`` with ``lax.cond``.
+    Returns (new_state, target_metric). Pure: callers gate it on
+    ``step % acaq_interval == 0`` with ``lax.cond``.
     """
-    new_best = jnp.minimum(best_loss, current_loss)
     if config.target_metric is not None:
         target = jnp.asarray(config.target_metric, jnp.float32)
     else:
-        target = new_best * 1.2
+        target = ref_loss * 1.2
 
     bits = _flat_bits(state)
     n = bits.shape[0]
@@ -301,4 +308,4 @@ def acaq_controller_update(
         state["act"], soft_bits=new_bits[n_embed : n_embed + n_act]
     )
     new_state["weight"] = dict(state["weight"], soft_bits=new_bits[-1])
-    return new_state, new_best, target
+    return new_state, target

@@ -461,13 +461,16 @@ def _ray_aabb(rays_o, rays_d, bmin, bmax, near, far):
     return t0, jnp.maximum(t1, t0)
 
 
-def _tent_interp(rows: jnp.ndarray, p: jnp.ndarray, n_features: int):
+def _tent_interp(rows: jnp.ndarray, px, py, pz, n_features: int):
     """Trilinear interpolation over gathered tiles as a tent-product
     contraction (same trick as ops/blockhash.py, generalized to F planes).
 
     rows ``[M, F*128]`` (any float dtype — bf16 rows are NOT pre-cast, so
     the gathered bytes stream straight into the f32-accumulated contraction
-    instead of materializing an f32 copy), p ``[M, 3]`` in-tile positions
+    instead of materializing an f32 copy), px/py/pz ``[M]`` in-tile
+    positions per axis (axis-SPLIT flat vectors: an ``[M, 3]`` operand
+    would physically pad its 3-lane trailing dim to 128 — 42x the bytes of
+    every coordinate intermediate, BENCH_NOTES.md layout rule #1)
     -> ``[M, F]`` f32.
     """
     m = rows.shape[0]
@@ -475,9 +478,9 @@ def _tent_interp(rows: jnp.ndarray, p: jnp.ndarray, n_features: int):
     lx = (lane // (SIDE * SIDE)).astype(jnp.float32)
     ly = ((lane // SIDE) % SIDE).astype(jnp.float32)
     lz = (lane % SIDE).astype(jnp.float32)
-    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - p[:, 0:1]))
-    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - p[:, 1:2]))
-    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - p[:, 2:3]))
+    tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - px[:, None]))
+    ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - py[:, None]))
+    tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pz[:, None]))
     wd = rows.dtype if jnp.issubdtype(rows.dtype, jnp.floating) else jnp.float32
     w = (tx * ty * tz).astype(wd)  # [M, 128]
     rowsf = rows if jnp.issubdtype(rows.dtype, jnp.floating) else rows.astype(wd)
@@ -536,20 +539,34 @@ def baked_render_rays(
         t1 = jnp.where(empty, t1, g1)
     ts = jnp.linspace(0.0, 1.0, n_samples, dtype=jnp.float32)
     z = t0[:, None] + (t1 - t0)[:, None] * ts[None, :]  # [N, S]
-    pts = rays_o[:, None, :] + rays_d[:, None, :] * z[..., None]
 
-    # Vertex-space coordinates (vertex spacing 1); perfect block indexing.
-    rel = (pts - bmin) / (bmax - bmin) * bc.resolution
-    rel = jnp.clip(rel, 0.0, bc.resolution - 1e-4)
-    blk = jnp.clip((rel // BLOCK).astype(jnp.int32), 0, E - 1)
-    local = rel - blk.astype(jnp.float32) * BLOCK  # in [0, BLOCK]
-    row_idx = (blk[..., 0] * E + blk[..., 1]) * E + blk[..., 2]  # [N, S]
+    # Vertex-space coordinates (vertex spacing 1) as AXIS-SPLIT [N, S]
+    # planes: a [N, S, 3] coordinate tensor physically pads its 3-lane
+    # trailing dim to 128 (BENCH_NOTES.md layout rule #1), multiplying the
+    # bytes of every per-sample intermediate by ~42x. Keeping x/y/z as
+    # separate fully-packed planes is exact and touches only real data.
+    scale = bc.resolution / (bmax - bmin)  # [3]
+    rel_axes = []
+    for a in range(3):
+        ra = (rays_o[:, None, a] + rays_d[:, None, a] * z - bmin[a]) * scale[a]
+        rel_axes.append(jnp.clip(ra, 0.0, bc.resolution - 1e-4))
+    relx, rely, relz = rel_axes  # each [N, S]
+
+    def _blk(r):  # perfect block indexing per axis
+        return jnp.clip((r // BLOCK).astype(jnp.int32), 0, E - 1)
+
+    bx, by, bz = _blk(relx), _blk(rely), _blk(relz)
+    row_idx = (bx * E + by) * E + bz  # [N, S]
 
     # Pass 1: density only (128-lane rows, interp streams the raw dtype).
     srows = jnp.take(baked["sigma_table"], row_idx.reshape(-1), axis=0)
-    sigma = _tent_interp(srows, local.reshape(-1, 3), 1).reshape(
-        n, n_samples
-    )
+    sigma = _tent_interp(
+        srows,
+        (relx - bx.astype(jnp.float32) * BLOCK).reshape(-1),
+        (rely - by.astype(jnp.float32) * BLOCK).reshape(-1),
+        (relz - bz.astype(jnp.float32) * BLOCK).reshape(-1),
+        1,
+    ).reshape(n, n_samples)
     if bc.table_dtype == "int8":
         # log1p-quantized density: interpolate in log space (geometric
         # mean), then dequantize.
@@ -592,17 +609,25 @@ def baked_render_rays(
         # iterative-argmax rewrite, BENCH_NOTES.md) — S=24 per-ray sorts
         # are not the sample_pdf situation.
         w_sel, sel = jax.lax.top_k(weights, k_geo)  # [N, k]
-        rel_sel = jnp.take_along_axis(rel, sel[..., None], axis=1)
+        selx = jnp.take_along_axis(relx, sel, axis=1)  # [N, k] planes
+        sely = jnp.take_along_axis(rely, sel, axis=1)
+        selz = jnp.take_along_axis(relz, sel, axis=1)
     else:
         k_geo = n_samples
         w_sel = weights
-        rel_sel = rel
+        selx, sely, selz = relx, rely, relz
     R = bc.geo_res
     if R != bc.resolution:  # corner table on a coarser geo grid
-        rel_sel = rel_sel * (R / bc.resolution)
-    v0 = jnp.clip(rel_sel.astype(jnp.int32), 0, R - 1)
-    frac = rel_sel - v0.astype(jnp.float32)  # [N, k, 3]
-    vox = ((v0[..., 0] * R + v0[..., 1]) * R + v0[..., 2]).reshape(-1)
+        f = R / bc.resolution
+        selx, sely, selz = selx * f, sely * f, selz * f
+    v0x = jnp.clip(selx.astype(jnp.int32), 0, R - 1)
+    v0y = jnp.clip(sely.astype(jnp.int32), 0, R - 1)
+    v0z = jnp.clip(selz.astype(jnp.int32), 0, R - 1)
+    vox = ((v0x * R + v0y) * R + v0z).reshape(-1)  # [M]
+    # In-voxel fractions as flat [M] planes (axis-split, fully packed).
+    fx = (selx - v0x.astype(jnp.float32)).reshape(-1)
+    fy = (sely - v0y.astype(jnp.float32)).reshape(-1)
+    fz = (selz - v0z.astype(jnp.float32)).reshape(-1)
     stride = LANES // 8  # lanes per corner in the voxel_geo row
     geo_dim = bc.n_features - 1
     if corner_matmul:
@@ -614,31 +639,43 @@ def baked_render_rays(
         # bytes) plus an 8-wide einsum contraction. This path never
         # reshapes gathered data: corner weights are computed directly in
         # lane layout (corner id = lane // 16, corner-major bits), applied
-        # elementwise, and lanes fold into features with one [128, geo]
-        # 0/1 matmul on the MXU.
+        # elementwise, the per-sample selection weight w_sel and the
+        # k-reduction happen IN lane space, and lanes fold into features
+        # with ONE [128, geo] 0/1 matmul per RAY (exact: the fold is
+        # linear, so fold(sum_k w_k * vals_k) == sum_k w_k * fold(vals_k)
+        # — one matmul per ray instead of per selected sample, and the
+        # [N, k, geo] per-sample feature tensor never materializes).
         m = vox.shape[0]
         crows = jnp.take(baked["voxel_geo"], vox, axis=0)  # [M, 128]
-        fr = frac.reshape(m, 3)
         lane = jax.lax.broadcasted_iota(jnp.int32, (m, LANES), 1)
         cid = lane // stride  # corner id, corner-major c = dx*4 + dy*2 + dz
         w128 = jnp.float32(1.0)
-        for axis, bit in ((0, cid // 4), (1, (cid // 2) % 2), (2, cid % 2)):
-            f = fr[:, axis: axis + 1]
+        for fr, bit in ((fx, cid // 4), (fy, (cid // 2) % 2), (fz, cid % 2)):
+            f = fr[:, None]
             w128 = w128 * jnp.where(bit == 1, f, 1.0 - f)
         cd = (crows.dtype if jnp.issubdtype(crows.dtype, jnp.floating)
               else jnp.float32)
-        vals = crows.astype(cd) * w128.astype(cd)  # [M, 128]
+        # Selection weight applied in lane space; reduce k before the fold.
+        vals = crows.astype(cd) * (w128 * w_sel.reshape(-1)[:, None]).astype(cd)
+        acc128 = jnp.sum(
+            vals.reshape(n, k_geo, LANES).astype(jnp.float32), axis=1
+        )  # [N, 128]
         fold = (jax.lax.broadcasted_iota(jnp.int32, (LANES, geo_dim), 0)
                 % stride
                 == jax.lax.broadcasted_iota(jnp.int32, (LANES, geo_dim), 1)
-                ).astype(cd)
-        geo = jnp.dot(vals, fold, preferred_element_type=jnp.float32)
-        geo = geo.reshape(n, k_geo, geo_dim)
+                ).astype(jnp.float32)
+        feat_ray = jnp.dot(acc128, fold,
+                           preferred_element_type=jnp.float32)  # [N, geo]
+        if bc.table_dtype == "int8":
+            feat_ray = feat_ray * baked["geo_scale"][None, :]
     else:
         # Reference-layout contraction (kept for same-session A/B probes).
         crows = jnp.take(baked["voxel_geo"], vox, axis=0).reshape(
             n, k_geo, 8, stride
         )
+        frac = jnp.stack(
+            [fx.reshape(n, k_geo), fy.reshape(n, k_geo),
+             fz.reshape(n, k_geo)], axis=-1)  # [N, k, 3]
         corner = jnp.asarray(
             [[dx, dy, dz] for dx in (0, 1) for dy in (0, 1) for dz in (0, 1)],
             jnp.float32,
@@ -652,9 +689,9 @@ def baked_render_rays(
             "nkcf,nkc->nkf", crows[..., :geo_dim].astype(cd),
             cw.astype(cd), preferred_element_type=jnp.float32,
         )
-    if bc.table_dtype == "int8":
-        geo = geo * baked["geo_scale"][None, None, :]
-    feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
+        if bc.table_dtype == "int8":
+            geo = geo * baked["geo_scale"][None, None, :]
+        feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
 
     # Deferred shading: one color-net pass per RAY.
     view_cfg = FieldConfig(

@@ -85,11 +85,14 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         "step": jnp.zeros((), jnp.int32),
         "best_loss": jnp.asarray(jnp.inf, jnp.float32),
         # EMA of the per-batch image loss (inf = uninitialized; the first
-        # step adopts the batch loss). best_loss is the running MINIMUM of
-        # this EMA — a typical-loss achievement anchor for the A-CAQ MDL
-        # controller, not an extreme-value statistic of batch noise
-        # (QuantConfig.loss_ema_decay).
+        # step adopts the batch loss) — the smoothed "current loss" the
+        # A-CAQ controller thresholds (QuantConfig.loss_ema_decay).
+        # best_loss (its running minimum) is kept for observability.
         "loss_ema": jnp.asarray(jnp.inf, jnp.float32),
+        # EMA of the quant-BYPASSED forward's loss on the same batches —
+        # the MDL reference anchor (updated only at controller intervals;
+        # see acaq_controller_update for why self-tracking anchors fail).
+        "fp_loss_ema": jnp.asarray(jnp.inf, jnp.float32),
     }
     fc = config.render.field
     if fc.use_quantization:
@@ -178,15 +181,18 @@ def train_step(
 
     img_idx = batch.get("img_idx")
 
-    def loss_fn(params, quant_state):
-        view_bias = None
+    def _view_bias(params):
         if (fc.n_appearance > 0 and fc.use_viewdirs
                 and img_idx is not None):
             # Per-image appearance latent rows for this batch's rays
             # (FieldConfig.n_appearance; gradient flows to the rows of
             # the images actually sampled).
-            view_bias = jnp.take(
+            return jnp.take(
                 params["appearance"], img_idx.astype(jnp.int32), axis=0)
+        return None
+
+    def loss_fn(params, quant_state):
+        view_bias = _view_bias(params)
         out, new_quant = render_rays(
             k_render, params, rays_o, rays_d, viewdirs, near, far, rc,
             quant_state=quant_state, train=True, step=step,
@@ -301,19 +307,40 @@ def train_step(
     )
 
     new_quant = aux["quant"]
-    new_best = state["best_loss"]
+    new_fp_ema = state.get("fp_loss_ema", jnp.asarray(jnp.inf, jnp.float32))
     if config.use_acaq and fc.use_quantization:
-        def run_controller(q, b):
-            new_q, nb, _ = acaq_controller_update(
-                q, new_loss_ema, b, fc.quant
+        mdl_mode = fc.quant.target_metric is None
+
+        def run_controller(q, fp_ema):
+            if mdl_mode:
+                # The MDL reference anchor: what this batch's loss would be
+                # WITHOUT quantization (quant_state=None bypasses every
+                # fake-quant). Runs only on controller steps (~1/interval
+                # of a forward), pre-update params — directly comparable
+                # to aux["img_loss"] (same rays, same stratified key).
+                out_fp, _ = render_rays(
+                    k_render, state["params"], rays_o, rays_d, viewdirs,
+                    near, far, rc, quant_state=None, train=True, step=step,
+                    occ_state=state["occ"],
+                    view_bias=_view_bias(state["params"]),
+                )
+                fp_loss = jnp.mean((out_fp["rgb_map"] - target) ** 2)
+                d_fp = fc.quant.fp_ref_ema_decay
+                fp_ema = jnp.where(
+                    jnp.isinf(fp_ema), fp_loss,
+                    d_fp * fp_ema + (1.0 - d_fp) * fp_loss,
+                )
+            new_q, _ = acaq_controller_update(
+                q, new_loss_ema, fp_ema, fc.quant
             )
-            return new_q, nb
+            return new_q, fp_ema
 
         active = (step >= config.acaq_start_iter) & (
             step % config.acaq_interval == 0
         )
-        new_quant, new_best = jax.lax.cond(
-            active, run_controller, lambda q, b: (q, b), new_quant, new_best
+        new_quant, new_fp_ema = jax.lax.cond(
+            active, run_controller, lambda q, f: (q, f),
+            new_quant, new_fp_ema,
         )
 
     # Occupancy-grid EMA refresh (reads the UPDATED field, no gradients).
@@ -348,8 +375,9 @@ def train_step(
         "occ": new_occ,
         "ema": new_ema,
         "step": step + 1,
-        "best_loss": jnp.minimum(new_best, new_loss_ema),
+        "best_loss": jnp.minimum(state["best_loss"], new_loss_ema),
         "loss_ema": new_loss_ema,
+        "fp_loss_ema": new_fp_ema,
     }
 
     psnr = -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0)

@@ -69,7 +69,8 @@ def test_bake_exact_at_vertices():
     E = bc.blocks_per_edge
     row_idx = (blk[:, 0] * E + blk[:, 1]) * E + blk[:, 2]
     rows = jnp.take(baked["sigma_table"], jnp.asarray(row_idx), axis=0)
-    feats = _tent_interp(rows, jnp.asarray(local, jnp.float32), 1)
+    lx, ly, lz = (jnp.asarray(local[:, a], jnp.float32) for a in range(3))
+    feats = _tent_interp(rows, lx, ly, lz, 1)
     np.testing.assert_allclose(
         np.asarray(feats[:, 0]), np.asarray(sigma), rtol=1e-4, atol=1e-5
     )
