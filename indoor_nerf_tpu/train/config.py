@@ -126,6 +126,18 @@ def build_parser() -> argparse.ArgumentParser:
     add("--distortion_loss_weight", type=float, default=0.0,
         help="Mip-NeRF 360 interval-distortion regularizer on the per-ray "
              "weight distribution (extension; combats few-shot floaters)")
+    add("--reg_views", type=int, default=0,
+        help="unobserved-view patches per step for RegNeRF-style depth-"
+             "smoothness regularization (0 = off). Novel poses are sampled "
+             "from the training-camera hull on host "
+             "(data/pipeline.py::UnobservedPatchSampler); extension "
+             "targeting few-shot geometry overfitting")
+    add("--reg_patch_size", type=int, default=8,
+        help="side length of each unobserved-view patch (rays per patch = "
+             "size^2)")
+    add("--reg_depth_tv_weight", type=float, default=0.1,
+        help="weight of the squared depth-TV loss on unobserved-view "
+             "patches (active only when --reg_views > 0)")
     add("--ema_decay", type=float, default=0.0,
         help="Polyak EMA of params; eval renders then use the averaged "
              "weights (extension; measured NEUTRAL-NEGATIVE on the fast "

@@ -62,6 +62,13 @@ class TrainConfig:
     # consumers may render with the averaged weights. Initialized AT the
     # initial params, so early evals are init-biased for ~1/(1-d) steps.
     ema_decay: float = 0.0
+    # Unobserved-view depth-smoothness regularizer (RegNeRF-style;
+    # extension, DIVERGENCES.md): active when the weight is >0 AND the
+    # batch carries 'reg_rays_o'/'reg_rays_d' patch rays (from
+    # data/pipeline.py::UnobservedPatchSampler). The squared depth TV of
+    # each patch (depth normalized by far-near) is added to the loss.
+    reg_patch_size: int = 8
+    reg_depth_tv_weight: float = 0.0
     use_structural_priors: bool = False
     structural_loss_start_iter: int = 2000
     structural_loss_ramp_iters: int = 1000
@@ -155,6 +162,10 @@ def train_step(
     fc = rc.field
     step = state["step"]
     k_render, k_tv, k_priors, k_occ = jax.random.split(key, 4)
+    # Derived by fold_in, NOT by widening the split above: adding the
+    # regularizer must not perturb the RNG stream of existing protocols
+    # (seeded convergence results are bit-reproducible, CLAUDE.md).
+    k_reg = jax.random.fold_in(key, 17)
 
     rays_o = batch["rays_o"]
     rays_d = batch["rays_d"]
@@ -239,6 +250,42 @@ def train_step(
             dist = distortion_loss(out["weights"], out["z_vals"], near, far)
             loss = loss + config.distortion_loss_weight * dist
 
+        # Unobserved-view depth smoothness (RegNeRF-style; extension).
+        # Renders fixed-shape novel-view patches with the SAME field and
+        # penalizes squared depth TV there — geometry must stay
+        # piecewise-smooth where no training ray looks. The patch render
+        # rides the main gradient; its quantizer-observer updates are
+        # discarded (ranges track the real ray distribution only).
+        reg_tv = jnp.zeros(())
+        reg_o = batch.get("reg_rays_o")
+        if config.reg_depth_tv_weight > 0 and reg_o is not None:
+            reg_d = batch["reg_rays_d"]
+            reg_vd = None
+            if fc.use_viewdirs:
+                reg_vd = reg_d / jnp.linalg.norm(
+                    reg_d, axis=-1, keepdims=True)
+            ro_r, rd_r = reg_o, reg_d
+            if rc.ndc:
+                Hn, Wn, focal_n = config.ndc_hwf
+                from indoor_nerf_tpu.ops.rays import ndc_rays
+
+                ro_r, rd_r = ndc_rays(Hn, Wn, focal_n, 1.0, ro_r, rd_r)
+            out_reg, _ = render_rays(
+                k_reg, params, ro_r, rd_r, reg_vd,
+                config.near * jnp.ones_like(rd_r[..., :1]),
+                config.far * jnp.ones_like(rd_r[..., :1]),
+                rc, quant_state=quant_state, train=True, step=step,
+                occ_state=state["occ"],
+            )
+            ps = config.reg_patch_size
+            depth = out_reg["depth_map"].reshape(-1, ps, ps)
+            depth = depth / (config.far - config.near)
+            reg_tv = (
+                jnp.mean(jnp.square(depth[:, 1:, :] - depth[:, :-1, :]))
+                + jnp.mean(jnp.square(depth[:, :, 1:] - depth[:, :, :-1]))
+            )
+            loss = loss + config.reg_depth_tv_weight * reg_tv
+
         # Structural priors with activation + linear ramp
         # (reference: run_nerf.py:1043-1148).
         diag = {}
@@ -281,6 +328,7 @@ def train_step(
         aux = {
             "img_loss": img_loss,
             "img_loss0": img_loss0,
+            "reg_depth_tv": reg_tv,
             "quant": new_quant,
             **diag,
         }
@@ -387,6 +435,8 @@ def train_step(
         "psnr": psnr,
         "lr": lr,
     }
+    if config.reg_depth_tv_weight > 0:
+        metrics["reg_depth_tv"] = aux["reg_depth_tv"]
     for k, v in aux.items():
         if k.startswith("structural_"):
             metrics[k] = v

@@ -202,6 +202,11 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         sparse_loss_weight=args.sparse_loss_weight,
         tv_loss_weight=args.tv_loss_weight,
         distortion_loss_weight=getattr(args, "distortion_loss_weight", 0.0),
+        reg_patch_size=getattr(args, "reg_patch_size", 8),
+        reg_depth_tv_weight=(
+            getattr(args, "reg_depth_tv_weight", 0.1)
+            if getattr(args, "reg_views", 0) > 0 else 0.0
+        ),
         ema_decay=getattr(args, "ema_decay", 0.0),
         use_structural_priors=args.use_structural_priors,
         structural_loss_start_iter=args.structural_loss_start_iter,
@@ -488,6 +493,33 @@ def train(args) -> Dict:
             seed=host_seed,
         )
         sample = sampler.next
+
+    # Unobserved-view depth-smoothness patches (RegNeRF-style extension):
+    # augment every batch with fixed-shape novel-view patch rays. On a
+    # multi-host pod each host contributes reg_views/n_proc patches of the
+    # global set, exactly like the ray batch.
+    if getattr(args, "reg_views", 0) > 0:
+        if args.reg_views % n_proc != 0:
+            raise ValueError(
+                f"--reg_views {args.reg_views} must divide evenly over "
+                f"{n_proc} host processes"
+            )
+        from indoor_nerf_tpu.data.pipeline import UnobservedPatchSampler
+
+        reg_sampler = UnobservedPatchSampler(
+            scene.poses[scene.i_train], H, W, K,
+            n_patches=args.reg_views // n_proc,
+            patch=getattr(args, "reg_patch_size", 8),
+            seed=host_seed + 13,
+        )
+        base_sample = sample
+        def sample(i, _base=base_sample, _reg=reg_sampler):
+            b = _base(i)
+            b.update(_reg.next())
+            return b
+        print(f"[reg] unobserved-view depth TV: {args.reg_views} "
+              f"patch(es)/step of {getattr(args, 'reg_patch_size', 8)}^2 "
+              f"rays, weight {getattr(args, 'reg_depth_tv_weight', 0.1)}")
 
     if n_proc > 1:
         from jax.sharding import NamedSharding, PartitionSpec

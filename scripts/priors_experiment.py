@@ -63,6 +63,11 @@ def main():
                          "exposure); appearance arms are then also scored "
                          "with the NeRF-W half-image protocol (fit latent "
                          "on left half, PSNR on right half)")
+    ap.add_argument("--reg_views", type=int, default=4,
+                    help="patches/step for the reg arms (unobserved-view "
+                         "depth-TV regularizer)")
+    ap.add_argument("--reg_weight", type=float, default=0.1,
+                    help="depth-TV weight for the reg arms")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
@@ -97,7 +102,7 @@ def main():
     def run(use_priors: bool, distortion_weight: float = 0.0,
             freq_anneal_iters: int = 0, view_anneal_iters: int = 0,
             use_viewdirs: bool = True, use_appearance: bool = False,
-            prior_start: int = None):
+            prior_start: int = None, reg_views: int = 0):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -135,6 +140,7 @@ def main():
                 args.start_iter if prior_start is None else prior_start),
             structural_loss_ramp_iters=args.ramp_iters,
             distortion_loss_weight=distortion_weight,
+            reg_depth_tv_weight=(args.reg_weight if reg_views else 0.0),
         )
         # Few-shot: per-image sampling (the reference's no_batching mode
         # is what the priors pipeline expects — select_coords semantics).
@@ -142,6 +148,14 @@ def main():
             scene["images"], scene["poses"], scene["i_split"][0],
             H, W, scene["K"], cfg.n_rand,
         )
+        reg_sampler = None
+        if reg_views:
+            from indoor_nerf_tpu.data.pipeline import UnobservedPatchSampler
+
+            reg_sampler = UnobservedPatchSampler(
+                scene["poses"][scene["i_split"][0]], H, W, scene["K"],
+                n_patches=reg_views, seed=args.seed + 13,
+            )
         state = init_train_state(jax.random.PRNGKey(args.seed), cfg)
         from indoor_nerf_tpu.train.step import default_prior_weights
 
@@ -153,8 +167,10 @@ def main():
         t0 = time.perf_counter()
         for i in range(args.iters):
             key, sub = jax.random.split(key)
-            batch = {k: jnp.asarray(v)
-                     for k, v in sampler.next(i).items()}
+            batch_np = sampler.next(i)
+            if reg_sampler is not None:
+                batch_np.update(reg_sampler.next())
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             state, metrics = step_fn(state, batch, sub)
         train_psnr = float(metrics["psnr"])
         wall = time.perf_counter() - t0
@@ -196,6 +212,8 @@ def main():
             tag += "+viewoff"
         if use_appearance:
             tag += "+appearance"
+        if reg_views:
+            tag += f"+reg{reg_views}"
         if use_priors and prior_start is not None:
             tag += f"@{prior_start}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
@@ -248,6 +266,16 @@ def main():
         "fullstack+vanneal": dict(use_priors=True, use_appearance=True,
                                   distortion_weight=w0, freq_anneal_iters=A,
                                   view_anneal_iters=V, prior_start=late),
+        # RegNeRF-style unobserved-view depth-TV arms (round-4 extension;
+        # data/pipeline.py::UnobservedPatchSampler).
+        "reg": dict(reg_views=args.reg_views),
+        "reg+anneal": dict(reg_views=args.reg_views, freq_anneal_iters=A),
+        "reg+anneal+appearance": dict(reg_views=args.reg_views,
+                                      freq_anneal_iters=A,
+                                      use_appearance=True),
+        "fullstack+reg": dict(use_priors=True, use_appearance=True,
+                              distortion_weight=w0, freq_anneal_iters=A,
+                              prior_start=late, reg_views=args.reg_views),
     }
     legacy = ("priors", "distortion", "anneal", "vanneal", "appearance",
               "combo", "all")
