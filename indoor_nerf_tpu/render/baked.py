@@ -502,6 +502,7 @@ def baked_render_rays(
     k_geo: Optional[int] = 4,
     t_bounds: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     corner_matmul: bool = True,
+    select_onehot: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
 
@@ -609,9 +610,35 @@ def baked_render_rays(
         # iterative-argmax rewrite, BENCH_NOTES.md) — S=24 per-ray sorts
         # are not the sample_pdf situation.
         w_sel, sel = jax.lax.top_k(weights, k_geo)  # [N, k]
-        selx = jnp.take_along_axis(relx, sel, axis=1)  # [N, k] planes
-        sely = jnp.take_along_axis(rely, sel, axis=1)
-        selz = jnp.take_along_axis(relz, sel, axis=1)
+        if select_onehot:
+            # Gather-free selection. take_along_axis on an [N, S] plane
+            # lowers to N*k WIDTH-1 gather rows — the transaction-bound
+            # regime of the measured gather laws (~150M rows/s,
+            # BENCH_NOTES.md) — and pass 2 did it THREE times; the k4->k1
+            # FPS delta (57 ms/frame, tpu_serving_ladder_r3b.json)
+            # attributes pass 2's ~30 ns/selected-sample almost entirely
+            # to these narrow gathers. Instead select only z with an
+            # in-register one-hot reduction (XLA fuses compare+select+sum
+            # over the [N, k, S] window; zero gather transactions) and
+            # RECOMPUTE the rel planes from the rays — the identical
+            # float pipeline that produced relx/rely/relz above, so the
+            # selected coordinates are bit-exact
+            # (tests/test_baked.py::test_onehot_selection_matches_gather).
+            onehot = iota_s[None, None, :] == sel[:, :, None]  # [N, k, S]
+            z_sel = jnp.sum(
+                jnp.where(onehot, z[:, None, :], 0.0), axis=-1
+            )  # [N, k]
+            sel_axes = []
+            for a in range(3):
+                sa = (rays_o[:, None, a] + rays_d[:, None, a] * z_sel
+                      - bmin[a]) * scale[a]
+                sel_axes.append(jnp.clip(sa, 0.0, bc.resolution - 1e-4))
+            selx, sely, selz = sel_axes
+        else:
+            # Width-1-gather selection (kept for same-session A/B probes).
+            selx = jnp.take_along_axis(relx, sel, axis=1)  # [N, k] planes
+            sely = jnp.take_along_axis(rely, sel, axis=1)
+            selz = jnp.take_along_axis(relz, sel, axis=1)
     else:
         k_geo = n_samples
         w_sel = weights
@@ -737,6 +764,7 @@ def make_baked_image_renderer(
     acc_thresh: float = 0.5,
     pose_block: int = 4,
     corner_matmul: bool = True,
+    select_onehot: bool = True,
 ):
     """A jitted full-image renderer over a baked snapshot.
 
@@ -798,6 +826,7 @@ def make_baked_image_renderer(
                     baked_dev, a[0], a[1], a[2], near, far,
                     n_samples=n_s, white_bkgd=white_bkgd, k_geo=k_geo,
                     t_bounds=tb, corner_matmul=corner_matmul,
+                    select_onehot=select_onehot,
                 )
 
             out = jax.lax.map(tile_fn, args)

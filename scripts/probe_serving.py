@@ -91,12 +91,13 @@ def main():
         pb = int(kv.get("pb", B))
         gres = int(kv.get("gres", 0))
         cm = bool(int(kv.get("cm", 1)))  # lane-space corner matmul (pass 2)
+        so = bool(int(kv.get("so", 1)))  # one-hot (gather-free) selection
         cw = c2ws[:pb] if pb <= B else np.concatenate(
             [c2ws] * (-(-pb // B)))[:pb]
         render = make_baked_image_renderer(
             get_bake(gres), H, W, tile_rays=tile, n_samples=nf,
             guided=g, n_coarse=nc, pose_block=pb, k_geo=k,
-            corner_matmul=cm,
+            corner_matmul=cm, select_onehot=so,
         )
         out = render(cw, K, 2.0, 6.0)  # compile
         float(out["rgb_map"].sum())
@@ -108,7 +109,7 @@ def main():
         dt = time.perf_counter() - t0
         spf = dt / (n_calls * pb)
         results[name] = {"g": g, "nf": nf, "nc": nc, "k": k, "tile": tile,
-                         "gres": gres, "cm": int(cm),
+                         "gres": gres, "cm": int(cm), "so": int(so),
                          "pose_block": pb, "s_per_frame": round(spf, 4),
                          "fps": round(1.0 / spf, 2)}
         print(f"{name}: {spf*1e3:.0f} ms/frame ({1/spf:.2f} FPS)",

@@ -43,6 +43,7 @@ def main():
         # nf = guided fine samples, nc = coarse samples, k = pass-2 top-k,
         # dt = bake table dtype. 'base' is the shipped default.
         "base:nf=16,nc=64,k=4;"
+        "base_tg:nf=16,nc=64,k=4,so=0;"  # A/B: width-1-gather selection
         "k3:nf=16,nc=64,k=3;"
         "k2:nf=16,nc=64,k=2;"
         "k1:nf=16,nc=64,k=1;"
@@ -167,13 +168,14 @@ def main():
         nc = int(kv.get("nc", 64))
         k = int(kv.get("k", 4))
         dt = kv.get("dt", "bfloat16")
+        so = bool(int(kv.get("so", 1)))  # one-hot (gather-free) selection
         baked = get_bake(dt)
-        row = {"nf": nf, "nc": nc, "k": k, "dtype": dt}
+        row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so)}
 
         if not args.skip_quality:
             qrender = make_baked_image_renderer(
                 baked, H, W, tile_rays=4096, n_samples=nf,
-                guided=args.guided, n_coarse=nc, k_geo=k)
+                guided=args.guided, n_coarse=nc, k_geo=k, select_onehot=so)
             vals = []
             for i_test in scene["i_split"][2]:
                 gt = np.asarray(scene["images"][i_test])
@@ -184,7 +186,8 @@ def main():
 
         frender = make_baked_image_renderer(
             baked, Hf, Wf, tile_rays=16384, n_samples=nf,
-            guided=args.guided, n_coarse=nc, k_geo=k, pose_block=B)
+            guided=args.guided, n_coarse=nc, k_geo=k, pose_block=B,
+            select_onehot=so)
         out = frender(c2ws, Kf, scene["near"], scene["far"])  # compile
         float(out["rgb_map"].sum())
         n_calls = max(1, args.fps_frames // B)

@@ -348,3 +348,45 @@ def test_guided_render_non_divisible_resolution():
     diff = float(np.mean(np.abs(
         np.asarray(out["rgb_map"]) - np.asarray(ref["rgb_map"]))))
     assert diff < 0.1, diff
+
+
+def test_onehot_selection_matches_gather():
+    """The gather-free pass-2 selection (one-hot z reduction + rel-plane
+    recompute from the rays) is BIT-EXACT vs the take_along_axis path:
+    the recompute runs the identical float pipeline that produced the
+    rel planes, and the one-hot sum has exactly one nonzero term."""
+    fc, params = _tiny_field()
+    baked = bake_field(params, fc, resolution=8, table_dtype="float32",
+                       blocks_per_chunk=8)
+    rng = np.random.default_rng(5)
+    n = 96
+    o = np.tile([[0.0, 0.0, -3.0]], (n, 1)) + 0.1 * rng.standard_normal(
+        (n, 3))
+    d = np.stack([np.linspace(-0.4, 0.4, n),
+                  0.2 * rng.standard_normal(n), np.ones(n)], axis=-1)
+    rays_o = jnp.asarray(o, jnp.float32)
+    rays_d = jnp.asarray(d, jnp.float32)
+    vd = rays_d / jnp.linalg.norm(rays_d, axis=-1, keepdims=True)
+    from indoor_nerf_tpu.render.baked import baked_render_rays
+
+    for cm in (True, False):
+        a = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                              n_samples=24, k_geo=4, corner_matmul=cm,
+                              select_onehot=True)
+        b = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                              n_samples=24, k_geo=4, corner_matmul=cm,
+                              select_onehot=False)
+        for key in ("rgb_map", "depth_map", "acc_map"):
+            np.testing.assert_array_equal(
+                np.asarray(a[key]), np.asarray(b[key]),
+                err_msg=f"{key} (corner_matmul={cm})")
+    # Guided t_bounds path too (the fine pass also selects).
+    tb = (jnp.full((n,), 2.0, jnp.float32), jnp.full((n,), 5.0, jnp.float32))
+    a = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                          n_samples=16, k_geo=2, t_bounds=tb,
+                          select_onehot=True)
+    b = baked_render_rays(baked, rays_o, rays_d, vd, 0.5, 6.0,
+                          n_samples=16, k_geo=2, t_bounds=tb,
+                          select_onehot=False)
+    np.testing.assert_array_equal(np.asarray(a["rgb_map"]),
+                                  np.asarray(b["rgb_map"]))
