@@ -123,13 +123,14 @@ def main():
     }
     bakes = {}
 
-    def get_bake(dt):
-        if dt not in bakes:
+    def get_bake(dt, gres=0):
+        if (dt, gres) not in bakes:
             b = bake_field(state["params"], fc, resolution=args.baked_res,
-                           table_dtype=dt, train_cameras=train_cams)
+                           table_dtype=dt, train_cameras=train_cams,
+                           geo_resolution=gres)
             float(b["voxel_geo"].astype("float32").sum())
-            bakes[dt] = b
-        return bakes[dt]
+            bakes[(dt, gres)] = b
+        return bakes[(dt, gres)]
 
     def psnr(rgb, gt):
         return float(-10 * np.log10(np.mean((np.asarray(rgb) - gt) ** 2)))
@@ -169,8 +170,10 @@ def main():
         k = int(kv.get("k", 4))
         dt = kv.get("dt", "bfloat16")
         so = bool(int(kv.get("so", 1)))  # one-hot (gather-free) selection
-        baked = get_bake(dt)
-        row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so)}
+        gres = int(kv.get("gres", 0))  # coarser pass-2 geo table grid
+        baked = get_bake(dt, gres)
+        row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so),
+               "gres": gres}
 
         if not args.skip_quality:
             qrender = make_baked_image_renderer(
