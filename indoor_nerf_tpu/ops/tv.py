@@ -73,3 +73,48 @@ def sigma_sparsity_loss(sigmas: jnp.ndarray) -> jnp.ndarray:
     from raw2outputs is used instead), kept for parity.
     """
     return jnp.sum(jnp.log(1.0 + 2.0 * sigmas**2), axis=-1)
+
+
+def patch_depth_regularizer(
+    depth: jnp.ndarray,
+    acc: jnp.ndarray,
+    patch: int,
+    near: float,
+    far: float,
+    mode: str = "tv",
+) -> jnp.ndarray:
+    """Depth-smoothness loss over novel-view ray patches (extension).
+
+    ``depth``/``acc`` are flat ``[P * patch**2]`` maps from rendering
+    ``UnobservedPatchSampler`` rays (data/pipeline.py); no reference
+    counterpart (PocketNeRF regularizes only observed batches,
+    structural_priors.py).
+
+    mode="tv": RegNeRF-style squared FIRST differences of depth
+    normalized by (far - near) (Niemeyer et al., CVPR 2022, eq. 5).
+    Note this penalizes legitimate planar SLOPE too — at wide per-pixel
+    angular footprints (low-res indoor protocols) slanted walls pay.
+
+    mode="planar": squared SECOND differences of normalized disparity.
+    The disparity (1/z-depth) of a plane is an affine function of pixel
+    coordinates, so planes — floors, walls, the dominant indoor geometry
+    — cost EXACTLY zero at any slant, while floaters (high-curvature
+    depth noise) still pay. Empty rays map to disparity 0 (background
+    at infinity), so sky patches are flat-free rather than garbage:
+    disp = (far - near) * acc / max(depth, eps).
+    """
+    d = depth.reshape(-1, patch, patch)
+    if mode == "planar":
+        a = acc.reshape(-1, patch, patch)
+        nd = (far - near) * a / jnp.maximum(d, 1e-6)
+        return (
+            jnp.mean(jnp.square(nd[:, 2:, :] - 2.0 * nd[:, 1:-1, :]
+                                + nd[:, :-2, :]))
+            + jnp.mean(jnp.square(nd[:, :, 2:] - 2.0 * nd[:, :, 1:-1]
+                                  + nd[:, :, :-2]))
+        )
+    nd = d / (far - near)
+    return (
+        jnp.mean(jnp.square(nd[:, 1:, :] - nd[:, :-1, :]))
+        + jnp.mean(jnp.square(nd[:, :, 1:] - nd[:, :, :-1]))
+    )

@@ -138,6 +138,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--reg_depth_tv_weight", type=float, default=0.1,
         help="weight of the squared depth-TV loss on unobserved-view "
              "patches (active only when --reg_views > 0)")
+    add("--reg_mode", type=str, default="tv", choices=["tv", "planar"],
+        help="patch regularizer: 'tv' = RegNeRF first-difference depth "
+             "smoothness; 'planar' = second differences of disparity "
+             "(planes cost zero at any slant — indoor-targeted)")
+    add("--reg_start_iter", type=int, default=0,
+        help="iteration the patch regularizer activates at (in-jit gate)")
     add("--ema_decay", type=float, default=0.0,
         help="Polyak EMA of params; eval renders then use the averaged "
              "weights (extension; measured NEUTRAL-NEGATIVE on the fast "

@@ -69,6 +69,15 @@ class TrainConfig:
     # each patch (depth normalized by far-near) is added to the loss.
     reg_patch_size: int = 8
     reg_depth_tv_weight: float = 0.0
+    # "tv" = RegNeRF squared first differences of normalized depth;
+    # "planar" = squared second differences of normalized disparity
+    # (planes cost zero at any slant — the indoor-targeted variant;
+    # ops/tv.py::patch_depth_regularizer).
+    reg_mode: str = "tv"
+    # The loss contribution is gated to step >= reg_start_iter (in-jit;
+    # 0 = from the start). Measured: weight 0.1 from iter 0 over-smooths
+    # (-1.9 dB held-out on the s0 few-shot room arm).
+    reg_start_iter: int = 0
     use_structural_priors: bool = False
     structural_loss_start_iter: int = 2000
     structural_loss_ramp_iters: int = 1000
@@ -277,14 +286,15 @@ def train_step(
                 rc, quant_state=quant_state, train=True, step=step,
                 occ_state=state["occ"],
             )
-            ps = config.reg_patch_size
-            depth = out_reg["depth_map"].reshape(-1, ps, ps)
-            depth = depth / (config.far - config.near)
-            reg_tv = (
-                jnp.mean(jnp.square(depth[:, 1:, :] - depth[:, :-1, :]))
-                + jnp.mean(jnp.square(depth[:, :, 1:] - depth[:, :, :-1]))
+            from indoor_nerf_tpu.ops.tv import patch_depth_regularizer
+
+            reg_tv = patch_depth_regularizer(
+                out_reg["depth_map"], out_reg["acc_map"],
+                config.reg_patch_size, config.near, config.far,
+                mode=config.reg_mode,
             )
-            loss = loss + config.reg_depth_tv_weight * reg_tv
+            gate = (step >= config.reg_start_iter).astype(jnp.float32)
+            loss = loss + config.reg_depth_tv_weight * gate * reg_tv
 
         # Structural priors with activation + linear ramp
         # (reference: run_nerf.py:1043-1148).

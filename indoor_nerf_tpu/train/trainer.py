@@ -207,6 +207,8 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
             getattr(args, "reg_depth_tv_weight", 0.1)
             if getattr(args, "reg_views", 0) > 0 else 0.0
         ),
+        reg_mode=getattr(args, "reg_mode", "tv"),
+        reg_start_iter=getattr(args, "reg_start_iter", 0),
         ema_decay=getattr(args, "ema_decay", 0.0),
         use_structural_priors=args.use_structural_priors,
         structural_loss_start_iter=args.structural_loss_start_iter,

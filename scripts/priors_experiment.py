@@ -68,6 +68,11 @@ def main():
                          "depth-TV regularizer)")
     ap.add_argument("--reg_weight", type=float, default=0.1,
                     help="depth-TV weight for the reg arms")
+    ap.add_argument("--reg_mode", default="tv", choices=["tv", "planar"],
+                    help="patch regularizer variant (see --help in "
+                         "train/config.py)")
+    ap.add_argument("--reg_start", type=int, default=0,
+                    help="iteration the patch regularizer activates at")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default="priors_experiment.json")
     args = ap.parse_args()
@@ -102,7 +107,9 @@ def main():
     def run(use_priors: bool, distortion_weight: float = 0.0,
             freq_anneal_iters: int = 0, view_anneal_iters: int = 0,
             use_viewdirs: bool = True, use_appearance: bool = False,
-            prior_start: int = None, reg_views: int = 0):
+            prior_start: int = None, reg_views: int = 0,
+            reg_weight: float = None, reg_mode: str = None,
+            reg_start: int = None):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -140,7 +147,12 @@ def main():
                 args.start_iter if prior_start is None else prior_start),
             structural_loss_ramp_iters=args.ramp_iters,
             distortion_loss_weight=distortion_weight,
-            reg_depth_tv_weight=(args.reg_weight if reg_views else 0.0),
+            reg_depth_tv_weight=(
+                (args.reg_weight if reg_weight is None else reg_weight)
+                if reg_views else 0.0),
+            reg_mode=(reg_mode or args.reg_mode),
+            reg_start_iter=(args.reg_start if reg_start is None
+                            else reg_start),
         )
         # Few-shot: per-image sampling (the reference's no_batching mode
         # is what the priors pipeline expects — select_coords semantics).
@@ -213,7 +225,11 @@ def main():
         if use_appearance:
             tag += "+appearance"
         if reg_views:
-            tag += f"+reg{reg_views}"
+            rm = reg_mode or args.reg_mode
+            rw = args.reg_weight if reg_weight is None else reg_weight
+            rs = args.reg_start if reg_start is None else reg_start
+            tag += f"+reg{reg_views}({rm},w{rw:g}" + (
+                f",s{rs})" if rs else ")")
         if use_priors and prior_start is not None:
             tag += f"@{prior_start}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
@@ -276,6 +292,23 @@ def main():
         "fullstack+reg": dict(use_priors=True, use_appearance=True,
                               distortion_weight=w0, freq_anneal_iters=A,
                               prior_start=late, reg_views=args.reg_views),
+        # Round-4 sweep arms: weight / mode / activation-delay variants
+        # of reg+anneal (weight 0.1 from iter 0 measured -1.9 dB
+        # held-out on s0 — over-smoothing during geometry formation).
+        "regw01+anneal": dict(reg_views=args.reg_views,
+                              freq_anneal_iters=A, reg_weight=0.01),
+        "regw003+anneal": dict(reg_views=args.reg_views,
+                               freq_anneal_iters=A, reg_weight=0.003),
+        "regp+anneal": dict(reg_views=args.reg_views, freq_anneal_iters=A,
+                            reg_mode="planar"),
+        "regpw01+anneal": dict(reg_views=args.reg_views,
+                               freq_anneal_iters=A, reg_mode="planar",
+                               reg_weight=0.01),
+        "reglate+anneal": dict(reg_views=args.reg_views,
+                               freq_anneal_iters=A, reg_start=500),
+        "regplate+anneal": dict(reg_views=args.reg_views,
+                                freq_anneal_iters=A, reg_mode="planar",
+                                reg_start=500),
     }
     legacy = ("priors", "distortion", "anneal", "vanneal", "appearance",
               "combo", "all")

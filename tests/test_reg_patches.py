@@ -183,3 +183,65 @@ def test_reg_step_matches_single_device_on_mesh():
     l8, t8 = run(make_mesh(jax.devices()))
     np.testing.assert_allclose(l1, l8, rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(t1, t8, rtol=2e-4, atol=1e-6)
+
+
+def test_planar_mode_is_zero_on_slanted_planes():
+    """Second differences of disparity: a plane costs exactly zero at any
+    slant (disparity of a plane is affine in pixel coords), while 'tv'
+    mode charges the slope; a floater spike costs in both modes."""
+    from indoor_nerf_tpu.ops.tv import patch_depth_regularizer
+
+    ps, near, far = 8, 2.0, 6.0
+    u, v = np.meshgrid(np.arange(ps), np.arange(ps), indexing="xy")
+    disp = 0.5 + 0.03 * u + 0.02 * v  # affine disparity == slanted plane
+    depth = jnp.asarray(((far - near) / disp).reshape(-1), jnp.float32)
+    acc = jnp.ones_like(depth)
+    planar = float(patch_depth_regularizer(depth, acc, ps, near, far,
+                                           mode="planar"))
+    tv = float(patch_depth_regularizer(depth, acc, ps, near, far,
+                                       mode="tv"))
+    assert planar < 1e-9, planar
+    assert tv > 1e-4, tv  # first differences charge the legit slope
+
+    # A floater: one spiked pixel pays in BOTH modes.
+    d2 = np.asarray(depth).copy().reshape(ps, ps)
+    d2[4, 4] *= 0.3
+    d2 = jnp.asarray(d2.reshape(-1))
+    assert float(patch_depth_regularizer(d2, acc, ps, near, far,
+                                         mode="planar")) > 1e-3
+    assert float(patch_depth_regularizer(d2, acc, ps, near, far,
+                                         mode="tv")) > float(tv)
+
+    # Empty rays (acc=0) are background-at-infinity: zero disparity,
+    # zero planar cost — not garbage from the tiny depth denominator.
+    zero = float(patch_depth_regularizer(
+        jnp.full((ps * ps,), 1e-8, jnp.float32),
+        jnp.zeros((ps * ps,), jnp.float32), ps, near, far, mode="planar"))
+    assert zero == 0.0
+
+
+def test_reg_start_iter_gates_the_loss():
+    """Before reg_start_iter the regularized step must match a
+    weight-zero step bit-for-bit; after it, the loss must differ."""
+    scene = make_synthetic_scene(n_views=6, H=32, W=32)
+    cfg_on = _cfg(scene, reg_depth_tv_weight=0.5, reg_patch_size=8,
+                  reg_start_iter=3)
+    cfg_off = _cfg(scene, reg_depth_tv_weight=0.0, reg_patch_size=8)
+    batch = _batch(scene, cfg_on, with_reg=True)
+    key = jax.random.PRNGKey(0)
+
+    def run(cfg, state):
+        return train_step(state, batch, key, cfg)
+
+    s_on = init_train_state(jax.random.PRNGKey(1), cfg_on)
+    s_off = init_train_state(jax.random.PRNGKey(1), cfg_off)
+    # step 0 < reg_start_iter: gate closed, losses identical.
+    _, m_on = jax.jit(functools.partial(run, cfg_on))(s_on)
+    _, m_off = jax.jit(functools.partial(run, cfg_off))(s_off)
+    assert float(m_on["loss"]) == float(m_off["loss"])
+    # step past the gate: the reg term must now contribute.
+    s_on3 = dict(s_on, step=jnp.asarray(3, s_on["step"].dtype))
+    s_off3 = dict(s_off, step=jnp.asarray(3, s_off["step"].dtype))
+    _, m_on3 = jax.jit(functools.partial(run, cfg_on))(s_on3)
+    _, m_off3 = jax.jit(functools.partial(run, cfg_off))(s_off3)
+    assert float(m_on3["loss"]) != float(m_off3["loss"])
