@@ -57,6 +57,17 @@ class QuantConfig:
     # run_nerf.py:1214-1222) is unstable in one direction or the other.
     loss_ema_decay: float = 0.99
     fp_ref_ema_decay: float = 0.9  # per controller interval (~10 calls)
+    # MDL loss-inflation tolerance: bits shrink while the quantized loss
+    # stays under ``mdl_tolerance * ref_loss``. The controller's band
+    # structure (shrink below 1.05x target, grow above) settles the
+    # quantized loss at ~1.05 * mdl_tolerance * ref_loss, so the accepted
+    # quality cost is ~10*log10(1.05 * mdl_tolerance) dB. The reference's
+    # 1.2 (run_nerf.py:1216) therefore ACCEPTS ~1 dB of quantization cost
+    # by construction — measured exactly that (-1.04 dB held-out vs
+    # fixed-8 at 4000 iters, acaq_experiment_r4_4000.json). Default 1.0
+    # targets ~0.2 dB; see DIVERGENCES.md #34 and the 4000-iter tolerance
+    # sweep in BENCH_NOTES.md.
+    mdl_tolerance: float = 1.0
 
 
 def _group(shape, init_bits: float, symmetric: bool) -> QuantState:
@@ -277,9 +288,12 @@ def acaq_controller_update(
     than target" whenever training still improves (bits ratchet to min —
     measured avg 3.0, held-out -1 dB vs fixed-8). Anchoring on the
     quant-bypassed forward measures the actual quantization-induced loss
-    inflation, which is the quantity MDL's 1.2x tolerance is ABOUT: bits
-    shrink while quantization costs < ~14% loss inflation, grow beyond
-    ~26%, and equilibrate in between (DIVERGENCES.md #33).
+    inflation, which is the quantity MDL's tolerance is ABOUT: with
+    tolerance t, bits shrink while quantization costs < ~0.95t loss
+    inflation, grow beyond ~1.05t, and equilibrate in between
+    (DIVERGENCES.md #33). The tolerance itself is ``config.mdl_tolerance``
+    (the reference hard-codes 1.2, accepting ~1 dB by construction;
+    DIVERGENCES.md #34).
 
     Returns (new_state, target_metric). Pure: callers gate it on
     ``step % acaq_interval == 0`` with ``lax.cond``.
@@ -287,7 +301,7 @@ def acaq_controller_update(
     if config.target_metric is not None:
         target = jnp.asarray(config.target_metric, jnp.float32)
     else:
-        target = ref_loss * 1.2
+        target = ref_loss * config.mdl_tolerance
 
     bits = _flat_bits(state)
     n = bits.shape[0]

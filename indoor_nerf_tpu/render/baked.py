@@ -60,7 +60,12 @@ class BakedConfig:
     n_features: int = 16  # 1 sigma + geo_feat_dim
     i_embed_views: int = 2  # view encoding of the trained field
     multires_views: int = 4
-    table_dtype: str = "bfloat16"  # storage dtype; compute is f32
+    # Storage dtype; compute is f32. "int8" quantizes BOTH tables,
+    # "int8sig" only the sigma tile table (log1p space), "int8geo" only
+    # the voxel-corner geo table — the mixed modes exist because the two
+    # tables trade quality for bytes differently (BENCH_NOTES.md round-4
+    # int8 attribution).
+    table_dtype: str = "bfloat16"
     # Voxel-corner GEO table resolution (0 = same as ``resolution``).
     # Geo features are smooth relative to density, and the corner table is
     # the render's largest fetch cost BECAUSE of its size: GB-scale tables
@@ -80,6 +85,14 @@ class BakedConfig:
     @property
     def geo_res(self) -> int:
         return self.geo_resolution or self.resolution
+
+    @property
+    def sigma_quantized(self) -> bool:
+        return self.table_dtype in ("int8", "int8sig")
+
+    @property
+    def geo_quantized(self) -> bool:
+        return self.table_dtype in ("int8", "int8geo")
 
 
 def _sigma_geo_query(params, config: FieldConfig, mlp_name: str, pts):
@@ -211,6 +224,7 @@ def bake_field(
     vis_threshold: float = 1e-3,
     vis_subsample: int = 4,
     geo_resolution: int = 0,
+    int8_clip_pct: float = 100.0,
 ) -> Dict[str, Any]:
     """Bake a trained grid field into a block-tile snapshot.
 
@@ -256,8 +270,10 @@ def bake_field(
     bmin = np.asarray(bbox_min, np.float32)
     bmax = np.asarray(bbox_max, np.float32)
     voxel = (bmax - bmin) / resolution  # [3]
-    quantized = table_dtype == "int8"
-    dtype = jnp.bfloat16 if quantized else jnp.dtype(table_dtype)
+    quant_sig = table_dtype in ("int8", "int8sig")
+    quant_geo = table_dtype in ("int8", "int8geo")
+    dtype = (jnp.bfloat16 if (quant_sig or quant_geo)
+             else jnp.dtype(table_dtype))
 
     # 1. Query every UNIQUE vertex once: [V^3] sigma and [V^3, geo] features.
     #    ONE jit dispatch with lax.map over fixed-size chunks inside, and all
@@ -299,28 +315,38 @@ def bake_field(
 
     # Optional int8 snapshot: sigma in log1p space (127 levels over the
     # log range keeps surface densities resolvable), geo with per-feature
-    # symmetric scales. Halves the fetch bytes and HBM of both tables —
-    # the deployment/"mobile" trade the reference aspires to
+    # symmetric scales. Halves the fetch bytes and HBM of the quantized
+    # table(s) — the deployment/"mobile" trade the reference aspires to
     # (PocketNeRF/README.md:43) made concrete. Interpolation then happens
     # in log space for sigma (a geometric mean — quality asserted in
-    # tests/test_baked.py).
+    # tests/test_baked.py). ``int8_clip_pct`` < 100 sets each geo feature's
+    # scale from that |value| percentile instead of the max (NeRF feature
+    # distributions are heavy-tailed — tables grow ~1000x over training —
+    # so a max-based scale spends most of the 127 levels on outliers).
     sigma_scale = geo_scale = None
-    if quantized:
+    if quant_sig:
 
         @jax.jit
-        def quantize_tables(vs, vg):
+        def quantize_sigma(vs):
             ls = jnp.log1p(jax.nn.relu(vs.astype(jnp.float32)))
             s_sig = jnp.maximum(jnp.max(ls) / 127.0, 1e-8)
-            qs = jnp.round(ls / s_sig).astype(jnp.int8)
-            g32 = vg.astype(jnp.float32)
-            s_geo = jnp.maximum(jnp.max(jnp.abs(g32), axis=0) / 127.0, 1e-8)
-            qg = jnp.clip(jnp.round(g32 / s_geo), -127, 127).astype(jnp.int8)
-            return qs, qg, s_sig, s_geo
+            return jnp.round(ls / s_sig).astype(jnp.int8), s_sig
 
-        vert_sigma, geo_table, sigma_scale, geo_scale = quantize_tables(
-            vert_sigma, geo_table
-        )
-        dtype = jnp.dtype(jnp.int8)
+        vert_sigma, sigma_scale = quantize_sigma(vert_sigma)
+    if quant_geo:
+
+        @jax.jit
+        def quantize_geo(vg):
+            g32 = vg.astype(jnp.float32)
+            if int8_clip_pct < 100.0:
+                amax = jnp.percentile(jnp.abs(g32), int8_clip_pct, axis=0)
+            else:
+                amax = jnp.max(jnp.abs(g32), axis=0)
+            s_geo = jnp.maximum(amax / 127.0, 1e-8)
+            qg = jnp.clip(jnp.round(g32 / s_geo), -127, 127).astype(jnp.int8)
+            return qg, s_geo
+
+        geo_table, geo_scale = quantize_geo(geo_table)
 
     # 2. Sigma TILE table [n_blocks, 128]: gather each block's 5^3 halo'd
     #    vertices into one 128-lane row (on-device, no net queries). The
@@ -344,9 +370,9 @@ def bake_field(
             live, ((bx + lx) * V + (by + ly)) * V + (bz + lz), 0
         )
         rows = jnp.take(vs, vid.reshape(-1), axis=0).reshape(n_blocks, LANES)
-        rows = rows * live.astype(dtype)
+        rows = rows * live.astype(rows.dtype)
         bm = jnp.max(jax.nn.relu(rows.astype(jnp.float32)), axis=1)
-        if quantized:  # dequantize log-space back to density units
+        if quant_sig:  # dequantize log-space back to density units
             bm = jnp.expm1(bm * sigma_scale)
         return rows, bm
 
@@ -403,8 +429,9 @@ def bake_field(
         "color_net": params[mlp_name]["color_net"],
         "config": bc,
     }
-    if quantized:
+    if sigma_scale is not None:
         out["sigma_scale"] = sigma_scale
+    if geo_scale is not None:
         out["geo_scale"] = geo_scale
     return out
 
@@ -568,7 +595,7 @@ def baked_render_rays(
         (relz - bz.astype(jnp.float32) * BLOCK).reshape(-1),
         1,
     ).reshape(n, n_samples)
-    if bc.table_dtype == "int8":
+    if bc.sigma_quantized:
         # log1p-quantized density: interpolate in log space (geometric
         # mean), then dequantize.
         sigma = jnp.expm1(jax.nn.relu(sigma) * baked["sigma_scale"])
@@ -693,7 +720,7 @@ def baked_render_rays(
                 ).astype(jnp.float32)
         feat_ray = jnp.dot(acc128, fold,
                            preferred_element_type=jnp.float32)  # [N, geo]
-        if bc.table_dtype == "int8":
+        if bc.geo_quantized:
             feat_ray = feat_ray * baked["geo_scale"][None, :]
     else:
         # Reference-layout contraction (kept for same-session A/B probes).
@@ -716,7 +743,7 @@ def baked_render_rays(
             "nkcf,nkc->nkf", crows[..., :geo_dim].astype(cd),
             cw.astype(cd), preferred_element_type=jnp.float32,
         )
-        if bc.table_dtype == "int8":
+        if bc.geo_quantized:
             geo = geo * baked["geo_scale"][None, None, :]
         feat_ray = jnp.sum(w_sel[..., None] * geo, axis=1)  # [N, geo]
 

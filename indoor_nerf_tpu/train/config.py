@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
     add("--use_acaq", action="store_true")
     add("--target_metric", type=float, default=None)
     add("--bit_penalty", type=float, default=1e-3)
+    add("--mdl_tolerance", type=float, default=1.0,
+        help="MDL loss-inflation tolerance: bits shrink while quantized "
+             "loss < tolerance * quant-bypassed loss. The reference "
+             "hard-codes 1.2 (run_nerf.py:1216), which by the controller's "
+             "band structure accepts ~1 dB of quantization cost; 1.0 "
+             "targets ~0.2 dB (DIVERGENCES.md #34)")
     add("--acaq_start_iter", type=int, default=1000)
 
     # TPU-framework extensions (not in the reference)

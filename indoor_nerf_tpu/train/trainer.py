@@ -137,6 +137,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         init_bits=float(args.quantization_bits),
         bit_penalty=args.bit_penalty,
         target_metric=args.target_metric,
+        mdl_tolerance=getattr(args, "mdl_tolerance", 1.0),
     )
     field = FieldConfig(
         grid=grid,

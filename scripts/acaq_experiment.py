@@ -27,6 +27,12 @@ def main():
     ap.add_argument("--views", type=int, default=16)
     ap.add_argument("--res", type=int, default=128)
     ap.add_argument("--acaq_start", type=int, default=300)
+    ap.add_argument("--mdl_tolerance", type=float, default=1.0,
+                    help="MDL loss-inflation tolerance for the acaq arm "
+                         "(reference hard-codes 1.2 = ~1 dB accepted cost)")
+    ap.add_argument("--modes", default="fp,fixed8,acaq",
+                    help="comma list of arms to run (training is same-seed "
+                         "deterministic, so arms are reusable across runs)")
     ap.add_argument("--out", default="acaq_experiment.json")
     args = ap.parse_args()
 
@@ -70,7 +76,8 @@ def main():
         use_q = mode != "fp"
         fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0,
                          use_quantization=use_q,
-                         quant=QuantConfig(warmup_steps=100))
+                         quant=QuantConfig(warmup_steps=100,
+                                           mdl_tolerance=args.mdl_tolerance))
         rc = RenderConfig(field=fc, n_samples=64, n_importance=0,
                           white_bkgd=True, occupancy=occ, n_occ_samples=32)
         cfg = TrainConfig(
@@ -122,7 +129,7 @@ def main():
                 "wall_s": round(wall, 1)}
 
     result = {"config": vars(args)}
-    for mode in ("fp", "fixed8", "acaq"):
+    for mode in args.modes.split(","):
         result[mode] = run(mode)
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)

@@ -123,14 +123,14 @@ def main():
     }
     bakes = {}
 
-    def get_bake(dt, gres=0):
-        if (dt, gres) not in bakes:
+    def get_bake(dt, gres=0, cp=100.0):
+        if (dt, gres, cp) not in bakes:
             b = bake_field(state["params"], fc, resolution=args.baked_res,
                            table_dtype=dt, train_cameras=train_cams,
-                           geo_resolution=gres)
+                           geo_resolution=gres, int8_clip_pct=cp)
             float(b["voxel_geo"].astype("float32").sum())
-            bakes[(dt, gres)] = b
-        return bakes[(dt, gres)]
+            bakes[(dt, gres, cp)] = b
+        return bakes[(dt, gres, cp)]
 
     def psnr(rgb, gt):
         return float(-10 * np.log10(np.mean((np.asarray(rgb) - gt) ** 2)))
@@ -171,9 +171,10 @@ def main():
         dt = kv.get("dt", "bfloat16")
         so = bool(int(kv.get("so", 1)))  # one-hot (gather-free) selection
         gres = int(kv.get("gres", 0))  # coarser pass-2 geo table grid
-        baked = get_bake(dt, gres)
+        cp = float(kv.get("cp", 100.0))  # int8 geo-scale clip percentile
+        baked = get_bake(dt, gres, cp)
         row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so),
-               "gres": gres}
+               "gres": gres, "cp": cp}
 
         if not args.skip_quality:
             qrender = make_baked_image_renderer(

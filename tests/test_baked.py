@@ -390,3 +390,43 @@ def test_onehot_selection_matches_gather():
                           select_onehot=False)
     np.testing.assert_array_equal(np.asarray(a["rgb_map"]),
                                   np.asarray(b["rgb_map"]))
+
+
+def test_mixed_int8_modes_and_clip_percentile():
+    """int8sig / int8geo quantize exactly one table each, their quantized
+    halves are bit-identical to the full-int8 bake's, and a <100 geo clip
+    percentile never widens the per-feature scales."""
+    fc, params = _tiny_field()
+    kw = dict(resolution=16, blocks_per_chunk=16)
+    b_full = bake_field(params, fc, table_dtype="int8", **kw)
+    b_sig = bake_field(params, fc, table_dtype="int8sig", **kw)
+    b_geo = bake_field(params, fc, table_dtype="int8geo", **kw)
+
+    assert b_sig["sigma_table"].dtype == jnp.int8
+    assert b_sig["voxel_geo"].dtype == jnp.bfloat16
+    assert "sigma_scale" in b_sig and "geo_scale" not in b_sig
+    assert b_geo["sigma_table"].dtype == jnp.bfloat16
+    assert b_geo["voxel_geo"].dtype == jnp.int8
+    assert "geo_scale" in b_geo and "sigma_scale" not in b_geo
+    np.testing.assert_array_equal(np.asarray(b_sig["sigma_table"]),
+                                  np.asarray(b_full["sigma_table"]))
+    np.testing.assert_array_equal(np.asarray(b_geo["voxel_geo"]),
+                                  np.asarray(b_full["voxel_geo"]))
+    # block_max is in density units regardless of the sigma storage dtype.
+    np.testing.assert_allclose(np.asarray(b_sig["block_max"]),
+                               np.asarray(b_full["block_max"]), rtol=1e-6)
+
+    # Percentile clipping: scales can only shrink vs the max-based scale.
+    b_clip = bake_field(params, fc, table_dtype="int8geo",
+                        int8_clip_pct=99.0, **kw)
+    assert np.all(np.asarray(b_clip["geo_scale"])
+                  <= np.asarray(b_geo["geo_scale"]) + 1e-12)
+
+    # Both mixed modes render finite images through the standard path.
+    for b in (b_sig, b_geo, b_clip):
+        r = make_baked_image_renderer(b, 8, 8, tile_rays=64, n_samples=16)
+        K = np.array([[8.0, 0, 4], [0, 8.0, 4], [0, 0, 1]], np.float32)
+        c2w = np.eye(4, dtype=np.float32)[:3]
+        c2w[2, 3] = 3.0
+        out = r(c2w, K, 0.5, 6.0)
+        assert np.all(np.isfinite(np.asarray(out["rgb_map"])))

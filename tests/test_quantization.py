@@ -122,7 +122,7 @@ def test_acaq_controller_dynamics():
     new_state, target = acaq_controller_update(
         state, jnp.asarray(0.5), jnp.asarray(1.0), CFG
     )
-    assert abs(float(target) - 1.2) < 1e-6  # MDL: ref_loss * 1.2
+    assert abs(float(target) - CFG.mdl_tolerance) < 1e-6  # MDL target
     assert float(average_bits(new_state, CFG)) < float(average_bits(state, CFG))
     # Much worse than target -> bits increase.
     worse, _ = acaq_controller_update(
@@ -145,8 +145,9 @@ def test_mdl_fp_anchor_equilibrates_and_is_content_aware(rng):
     smoothed self-anchor (avg 3.0, held-out -1 dB vs fixed-8). The shipped
     anchor is the quant-BYPASSED forward's loss: the controller sees the
     actual quantization-induced inflation and must settle where inflation
-    ~ the MDL tolerance (1.14-1.26x), at an equilibrium that MOVES with
-    how quantization-sensitive the content is (content-aware)."""
+    ~ the MDL tolerance band (~0.95t-1.05t for tolerance t), at an
+    equilibrium that MOVES with how quantization-sensitive the content is
+    (content-aware)."""
 
     def closed_loop(sensitivity, steps=2000):
         # Loss model: quantized loss = fp_loss * (1 + sensitivity*2^-bits);
@@ -165,9 +166,10 @@ def test_mdl_fp_anchor_equilibrates_and_is_content_aware(rng):
                     s, jnp.asarray(ema), jnp.asarray(fp_ema), CFG)
         return float(average_bits(s, CFG))
 
-    # Equilibrium where sensitivity*2^-b ~ 0.2: b ~ log2(sensitivity/0.2).
-    b_lo = closed_loop(3.0)    # ~log2(15) ~ 3.9 bits
-    b_hi = closed_loop(100.0)  # ~log2(500) ~ 9 bits
+    # Equilibrium where sensitivity*2^-b ~ 1.05*tolerance - 1 (~0.05 at
+    # the default 1.0): b ~ log2(sensitivity/0.05).
+    b_lo = closed_loop(3.0)    # ~log2(60) ~ 5.9 bits
+    b_hi = closed_loop(100.0)  # ~log2(2000) ~ 11 bits
     assert CFG.min_bits + 0.5 < b_lo < 8.0, b_lo       # no min-bits crash
     assert 6.0 < b_hi < 14.0, b_hi                     # no max-bits ratchet
     assert b_hi > b_lo + 1.0, (b_lo, b_hi)             # content-aware
