@@ -530,6 +530,7 @@ def baked_render_rays(
     t_bounds: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
     corner_matmul: bool = True,
     select_onehot: bool = True,
+    renorm_k: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Render a ``[N, 3]`` ray batch from a baked snapshot.
 
@@ -637,6 +638,17 @@ def baked_render_rays(
         # iterative-argmax rewrite, BENCH_NOTES.md) — S=24 per-ray sorts
         # are not the sample_pdf situation.
         w_sel, sel = jax.lax.top_k(weights, k_geo)  # [N, k]
+        if renorm_k:
+            # Top-k drops the unselected samples' weight mass, DIMMING the
+            # accumulated feature (the deferred color net then sees a
+            # systematically scaled-down input as k shrinks — measured
+            # -0.31 dB k4->k2, serving_table_r4.json). Rescale the selected
+            # weights to carry the ray's full opacity: exact when k = S
+            # (sum of all weights IS acc), and turns top-k into a proper
+            # normalized quadrature of the feature integral otherwise.
+            w_sel = w_sel * (
+                acc / jnp.maximum(jnp.sum(w_sel, axis=-1), 1e-9)
+            )[:, None]
         if select_onehot:
             # Gather-free selection. take_along_axis on an [N, S] plane
             # lowers to N*k WIDTH-1 gather rows — the transaction-bound
@@ -792,6 +804,7 @@ def make_baked_image_renderer(
     pose_block: int = 4,
     corner_matmul: bool = True,
     select_onehot: bool = True,
+    renorm_k: bool = True,
 ):
     """A jitted full-image renderer over a baked snapshot.
 
@@ -853,7 +866,7 @@ def make_baked_image_renderer(
                     baked_dev, a[0], a[1], a[2], near, far,
                     n_samples=n_s, white_bkgd=white_bkgd, k_geo=k_geo,
                     t_bounds=tb, corner_matmul=corner_matmul,
-                    select_onehot=select_onehot,
+                    select_onehot=select_onehot, renorm_k=renorm_k,
                 )
 
             out = jax.lax.map(tile_fn, args)

@@ -41,7 +41,13 @@ def build(args):
     from indoor_nerf_tpu.train.step import init_train_state
     from indoor_nerf_tpu.utils.checkpoint import maybe_resume
 
-    cli = parse_args(args.train_args)
+    # The documented invocation separates server flags from training flags
+    # with a bare "--" (docs/SERVING.md); argparse.REMAINDER passes the
+    # literal separator through, and the training parser rejects it.
+    train_args = list(args.train_args)
+    if train_args and train_args[0] == "--":
+        train_args = train_args[1:]
+    cli = parse_args(train_args)
     scene = load_dataset(cli)
     cfg = build_train_config(cli, scene)
     state = init_train_state(jax.random.PRNGKey(cli.seed), cfg)
@@ -138,7 +144,8 @@ def main():
     ap.add_argument("--baked_geo_res", type=int, default=0,
                     help="pass-2 geo table resolution (0 = baked_res)")
     ap.add_argument("--baked_dtype", default="bfloat16",
-                    choices=["bfloat16", "float32", "int8"])
+                    choices=["bfloat16", "float32", "int8", "int8sig",
+                             "int8geo"])
     ap.add_argument("--snapshot", default=None,
                     help="path to save/load the baked snapshot (loads it "
                          "if the file exists, else bakes and saves)")

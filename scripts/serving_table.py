@@ -172,14 +172,16 @@ def main():
         so = bool(int(kv.get("so", 1)))  # one-hot (gather-free) selection
         gres = int(kv.get("gres", 0))  # coarser pass-2 geo table grid
         cp = float(kv.get("cp", 100.0))  # int8 geo-scale clip percentile
+        rn = bool(int(kv.get("rn", 1)))  # top-k weight renormalization
         baked = get_bake(dt, gres, cp)
         row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so),
-               "gres": gres, "cp": cp}
+               "gres": gres, "cp": cp, "rn": int(rn)}
 
         if not args.skip_quality:
             qrender = make_baked_image_renderer(
                 baked, H, W, tile_rays=4096, n_samples=nf,
-                guided=args.guided, n_coarse=nc, k_geo=k, select_onehot=so)
+                guided=args.guided, n_coarse=nc, k_geo=k, select_onehot=so,
+                renorm_k=rn)
             vals = []
             for i_test in scene["i_split"][2]:
                 gt = np.asarray(scene["images"][i_test])
@@ -191,7 +193,7 @@ def main():
         frender = make_baked_image_renderer(
             baked, Hf, Wf, tile_rays=16384, n_samples=nf,
             guided=args.guided, n_coarse=nc, k_geo=k, pose_block=B,
-            select_onehot=so)
+            select_onehot=so, renorm_k=rn)
         out = frender(c2ws, Kf, scene["near"], scene["far"])  # compile
         float(out["rgb_map"].sum())
         n_calls = max(1, args.fps_frames // B)

@@ -430,3 +430,51 @@ def test_mixed_int8_modes_and_clip_percentile():
         c2w[2, 3] = 3.0
         out = r(c2w, K, 0.5, 6.0)
         assert np.all(np.isfinite(np.asarray(out["rgb_map"])))
+
+
+def test_topk_weight_renormalization_improves_low_k():
+    """renorm_k rescales the selected top-k weights to carry the ray's full
+    opacity (exact when k = S). Dropping the unselected mass systematically
+    DIMS the accumulated feature as k shrinks (measured -0.31 dB k4->k2 at
+    deployment scale, serving_table_r4.json); renormalized low-k must beat
+    unrenormalized low-k on a trained scene."""
+    scene = make_synthetic_scene(n_views=8, H=40, W=40)
+    bg = BlockHashConfig(
+        bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
+        n_levels=8, log2_rows=7, base_resolution=16, finest_resolution=64,
+    )
+    fc = FieldConfig(block_grid=bg, i_embed=3, n_importance=0)
+    rc = RenderConfig(field=fc, n_samples=32, white_bkgd=True)
+    cfg = TrainConfig(render=rc, near=scene["near"], far=scene["far"],
+                      n_rand=512, lrate=0.01, tv_loss_weight=0.0)
+    H, W, _ = scene["hwf"]
+    sampler = BatchedRaySampler(
+        scene["images"], scene["poses"], scene["i_split"][0],
+        H, W, scene["K"], cfg.n_rand,
+    )
+    state = init_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = jax.jit(functools.partial(train_step, config=cfg))
+    key = jax.random.PRNGKey(1)
+    for _ in range(200):
+        key, sub = jax.random.split(key)
+        batch = {k: jnp.asarray(v) for k, v in sampler.next().items()}
+        state, _ = step_fn(state, batch, sub)
+    baked = bake_field(state["params"], fc, resolution=48,
+                       table_dtype="float32", blocks_per_chunk=256)
+    i_test = scene["i_split"][2][0]
+    gt = np.asarray(scene["images"][i_test])
+    c2w = np.asarray(scene["poses"][i_test])[:3, :4]
+
+    def render_psnr(k, rn):
+        r = make_baked_image_renderer(baked, H, W, tile_rays=1024,
+                                      n_samples=64, k_geo=k, renorm_k=rn)
+        rgb = np.asarray(r(c2w, scene["K"], scene["near"],
+                           scene["far"])["rgb_map"])
+        assert np.all(np.isfinite(rgb))
+        return -10 * np.log10(np.mean((rgb - gt) ** 2))
+
+    for k in (1, 2):
+        off, on = render_psnr(k, False), render_psnr(k, True)
+        assert on > off + 0.2, (k, off, on)
+    # k_geo=None path is renorm-free and unaffected by the flag.
+    assert abs(render_psnr(None, True) - render_psnr(None, False)) < 1e-6
