@@ -47,16 +47,16 @@ class QuantConfig:
     bit_penalty: float = 1e-3
     target_metric: Optional[float] = None  # MGL target; None = MDL mode
     acaq_interval: int = 10
-    # Per-step decay of the quantized-loss EMA fed to the controller as
-    # "current loss" (0.99 = ~100-step window; raw batch losses are too
-    # noisy to threshold at 0.95/1.05). The MDL ANCHOR is separate: an
-    # EMA of the quant-BYPASSED forward's loss on the same batches
-    # (train/step.py state["fp_loss_ema"], updated every controller
-    # interval with decay fp_ref_ema_decay) — see acaq_controller_update
-    # for why any self-tracking anchor (the reference's best_loss * 1.2,
-    # run_nerf.py:1214-1222) is unstable in one direction or the other.
+    # Per-step decay of the quantized-loss EMA (0.99 = ~100-step window;
+    # used for best_loss observability and as MGL mode's smoothed
+    # "current loss"). The MDL signal is separate: an EMA of the PAIRED
+    # inflation ratio (this batch's quantized loss / the SAME batch's
+    # quant-bypassed loss, train/step.py state["infl_ema"], updated every
+    # controller interval with decay fp_ref_ema_decay) — see
+    # acaq_controller_update for why self-tracking and unpaired anchors
+    # both fail.
     loss_ema_decay: float = 0.99
-    fp_ref_ema_decay: float = 0.9  # per controller interval (~10 calls)
+    fp_ref_ema_decay: float = 0.9  # infl-ratio EMA decay, per interval
     # MDL loss-inflation tolerance: bits shrink while the quantized loss
     # stays under ``mdl_tolerance * ref_loss``. The controller's band
     # structure (shrink below 1.05x target, grow above) settles the
@@ -277,23 +277,26 @@ def acaq_controller_update(
       delta *= 1 + (i - n/2) * 0.02     (layer factor)
       soft_bits = clip(soft_bits + delta, min_bits, max_bits)
 
-    ``current_loss`` is the EMA'd QUANTIZED training loss; ``ref_loss`` is
-    the EMA'd loss of the SAME model with quantization bypassed (the
-    quant-free forward train/step.py runs every controller interval).
-    DIVERGENCE from the reference's ``best_loss * 1.2`` anchor
-    (run_nerf.py:1214-1222): any SELF-tracking anchor is unstable — the
-    raw running minimum is an extreme-value statistic (typical batches
-    read "worse than target" forever, bits ratchet to max — measured
-    avg 32.0 at 4000 iters), while a smoothed self-anchor reads "better
-    than target" whenever training still improves (bits ratchet to min —
-    measured avg 3.0, held-out -1 dB vs fixed-8). Anchoring on the
-    quant-bypassed forward measures the actual quantization-induced loss
-    inflation, which is the quantity MDL's tolerance is ABOUT: with
-    tolerance t, bits shrink while quantization costs < ~0.95t loss
-    inflation, grow beyond ~1.05t, and equilibrate in between
-    (DIVERGENCES.md #33). The tolerance itself is ``config.mdl_tolerance``
-    (the reference hard-codes 1.2, accepting ~1 dB by construction;
-    DIVERGENCES.md #34).
+    In MDL mode the caller (train/step.py) passes ``current_loss`` = the
+    EMA of the PAIRED inflation ratio — this batch's quantized loss over
+    the SAME batch's quant-bypassed loss under the SAME params — and
+    ``ref_loss`` = 1.0. DIVERGENCE from the reference's ``best_loss *
+    1.2`` anchor (run_nerf.py:1214-1222), reached in three measured
+    steps: (a) any SELF-tracking anchor is one-sidedly unstable — the
+    raw running minimum is an extreme-value statistic (bits ratchet to
+    max, avg 32.0 at 4000 iters) and a smoothed self-anchor reads
+    "better than target" while training improves (bits ratchet to min,
+    avg 3.0, -1 dB vs fixed-8); (b) comparing two UNPAIRED estimators
+    (quantized-loss EMA vs a separate fp-loss EMA) leaves trend-lag +
+    variance residuals of 5-20% that swamp the 5% controller bands —
+    bits parked at 12-21 for every tolerance <= 1.15
+    (acaq_r4_tol*.json); (c) the PAIRED ratio cancels the convergence
+    trend per-sample, so what remains IS the quantization-induced
+    inflation, the quantity MDL's tolerance is about. With tolerance t,
+    bits shrink while inflation < ~0.95t, grow beyond ~1.05t, and
+    equilibrate between (DIVERGENCES.md #33/#35). The tolerance is
+    ``config.mdl_tolerance`` (the reference hard-codes 1.2, accepting
+    ~1 dB by construction).
 
     Returns (new_state, target_metric). Pure: callers gate it on
     ``step % acaq_interval == 0`` with ``lax.cond``.

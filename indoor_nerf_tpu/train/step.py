@@ -105,10 +105,11 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         # A-CAQ controller thresholds (QuantConfig.loss_ema_decay).
         # best_loss (its running minimum) is kept for observability.
         "loss_ema": jnp.asarray(jnp.inf, jnp.float32),
-        # EMA of the quant-BYPASSED forward's loss on the same batches —
-        # the MDL reference anchor (updated only at controller intervals;
-        # see acaq_controller_update for why self-tracking anchors fail).
-        "fp_loss_ema": jnp.asarray(jnp.inf, jnp.float32),
+        # EMA of the PAIRED quantization-inflation ratio (quantized loss /
+        # quant-bypassed loss of the SAME batch under the SAME params) —
+        # the MDL anchor signal (updated only at controller intervals;
+        # see acaq_controller_update for why unpaired anchors fail).
+        "infl_ema": jnp.asarray(jnp.inf, jnp.float32),
     }
     fc = config.render.field
     if fc.use_quantization:
@@ -365,17 +366,25 @@ def train_step(
     )
 
     new_quant = aux["quant"]
-    new_fp_ema = state.get("fp_loss_ema", jnp.asarray(jnp.inf, jnp.float32))
+    new_infl_ema = state.get("infl_ema", jnp.asarray(jnp.inf, jnp.float32))
     if config.use_acaq and fc.use_quantization:
         mdl_mode = fc.quant.target_metric is None
 
-        def run_controller(q, fp_ema):
+        def run_controller(q, infl_ema):
             if mdl_mode:
-                # The MDL reference anchor: what this batch's loss would be
-                # WITHOUT quantization (quant_state=None bypasses every
-                # fake-quant). Runs only on controller steps (~1/interval
-                # of a forward), pre-update params — directly comparable
-                # to aux["img_loss"] (same rays, same stratified key).
+                # The MDL anchor: what this batch's loss would be WITHOUT
+                # quantization (quant_state=None bypasses every fake-quant).
+                # Runs only on controller steps (~1/interval of a forward),
+                # pre-update params — the SAME rays, stratified key, and
+                # params as aux["img_loss"], so the PAIRED ratio
+                # quantized/bypassed is exactly the quantization-induced
+                # inflation of this batch, with the convergence trend
+                # cancelled per-sample. (Comparing the 100-step quantized
+                # loss EMA against an fp loss EMA — two UNPAIRED
+                # estimators — leaves trend-lag + variance residuals of
+                # 5-20% that swamp the 5% controller bands: measured bits
+                # parking at 12-21 for every tolerance <= 1.15,
+                # acaq_r4_tol{10,11,115}.json.)
                 out_fp, _ = render_rays(
                     k_render, state["params"], rays_o, rays_d, viewdirs,
                     near, far, rc, quant_state=None, train=True, step=step,
@@ -383,22 +392,24 @@ def train_step(
                     view_bias=_view_bias(state["params"]),
                 )
                 fp_loss = jnp.mean((out_fp["rgb_map"] - target) ** 2)
+                ratio = aux["img_loss"] / jnp.maximum(fp_loss, 1e-30)
                 d_fp = fc.quant.fp_ref_ema_decay
-                fp_ema = jnp.where(
-                    jnp.isinf(fp_ema), fp_loss,
-                    d_fp * fp_ema + (1.0 - d_fp) * fp_loss,
+                infl_ema = jnp.where(
+                    jnp.isinf(infl_ema), ratio,
+                    d_fp * infl_ema + (1.0 - d_fp) * ratio,
                 )
-            new_q, _ = acaq_controller_update(
-                q, new_loss_ema, fp_ema, fc.quant
-            )
-            return new_q, fp_ema
+                current, ref = infl_ema, jnp.asarray(1.0, jnp.float32)
+            else:
+                current, ref = new_loss_ema, jnp.asarray(1.0, jnp.float32)
+            new_q, _ = acaq_controller_update(q, current, ref, fc.quant)
+            return new_q, infl_ema
 
         active = (step >= config.acaq_start_iter) & (
             step % config.acaq_interval == 0
         )
-        new_quant, new_fp_ema = jax.lax.cond(
+        new_quant, new_infl_ema = jax.lax.cond(
             active, run_controller, lambda q, f: (q, f),
-            new_quant, new_fp_ema,
+            new_quant, new_infl_ema,
         )
 
     # Occupancy-grid EMA refresh (reads the UPDATED field, no gradients).
@@ -435,7 +446,7 @@ def train_step(
         "step": step + 1,
         "best_loss": jnp.minimum(state["best_loss"], new_loss_ema),
         "loss_ema": new_loss_ema,
-        "fp_loss_ema": new_fp_ema,
+        "infl_ema": new_infl_ema,
     }
 
     psnr = -10.0 * jnp.log(aux["img_loss"]) / jnp.log(10.0)

@@ -139,31 +139,35 @@ def test_acaq_controller_dynamics():
 
 
 def test_mdl_fp_anchor_equilibrates_and_is_content_aware(rng):
-    """Closed-loop regression for BOTH measured MDL anchor failures:
+    """Closed-loop regression for THREE measured MDL anchor failures:
     self-tracking anchors ratchet to max_bits with raw batch statistics
     (avg 32.0, acaq_experiment_r2_4000.json) or to min_bits with a
-    smoothed self-anchor (avg 3.0, held-out -1 dB vs fixed-8). The shipped
-    anchor is the quant-BYPASSED forward's loss: the controller sees the
-    actual quantization-induced inflation and must settle where inflation
-    ~ the MDL tolerance band (~0.95t-1.05t for tolerance t), at an
-    equilibrium that MOVES with how quantization-sensitive the content is
-    (content-aware)."""
+    smoothed self-anchor (avg 3.0, held-out -1 dB vs fixed-8); UNPAIRED
+    quantized-EMA-vs-fp-EMA comparison leaves trend-lag/variance residuals
+    that park bits at 12-21 regardless of tolerance (acaq_r4_tol*.json).
+    The shipped signal is the EMA of the PAIRED per-batch inflation ratio
+    (quantized / bypassed, same batch, same params): the convergence trend
+    cancels per-sample, and bits must settle where inflation ~ the MDL
+    tolerance band (~0.95t-1.05t for tolerance t), at an equilibrium that
+    MOVES with how quantization-sensitive the content is (content-aware)."""
 
     def closed_loop(sensitivity, steps=2000):
         # Loss model: quantized loss = fp_loss * (1 + sensitivity*2^-bits);
-        # fp loss converges 0.1 -> 0.01 with 10% batch noise.
+        # fp loss converges 0.1 -> 0.01 with 10% batch noise. The paired
+        # ratio q/fp cancels both the trend and the batch noise up to the
+        # quantization interaction (modeled as 5% relative noise).
         s = init_quant_state(CFG)
-        ema = fp_ema = None
+        infl_ema = None
         for i in range(steps):
-            fp = 0.01 + 0.09 * np.exp(-i / 300.0)
-            fp *= 1.0 + 0.1 * float(rng.standard_normal())
-            bits = float(average_bits(s, CFG))
-            q = fp * (1.0 + sensitivity * 2.0 ** (-bits))
-            ema = q if ema is None else 0.99 * ema + 0.01 * q
             if i % 10 == 0:
-                fp_ema = fp if fp_ema is None else 0.9 * fp_ema + 0.1 * fp
+                bits = float(average_bits(s, CFG))
+                ratio = (1.0 + sensitivity * 2.0 ** (-bits)) * (
+                    1.0 + 0.05 * float(rng.standard_normal())
+                )
+                infl_ema = (ratio if infl_ema is None
+                            else 0.9 * infl_ema + 0.1 * ratio)
                 s, _ = acaq_controller_update(
-                    s, jnp.asarray(ema), jnp.asarray(fp_ema), CFG)
+                    s, jnp.asarray(infl_ema), jnp.asarray(1.0), CFG)
         return float(average_bits(s, CFG))
 
     # Equilibrium where sensitivity*2^-b ~ 1.05*tolerance - 1 (~0.05 at
