@@ -277,26 +277,28 @@ def acaq_controller_update(
       delta *= 1 + (i - n/2) * 0.02     (layer factor)
       soft_bits = clip(soft_bits + delta, min_bits, max_bits)
 
-    In MDL mode the caller (train/step.py) passes ``current_loss`` = the
-    EMA of the PAIRED inflation ratio — this batch's quantized loss over
-    the SAME batch's quant-bypassed loss under the SAME params — and
-    ``ref_loss`` = 1.0. DIVERGENCE from the reference's ``best_loss *
-    1.2`` anchor (run_nerf.py:1214-1222), reached in three measured
-    steps: (a) any SELF-tracking anchor is one-sidedly unstable — the
-    raw running minimum is an extreme-value statistic (bits ratchet to
-    max, avg 32.0 at 4000 iters) and a smoothed self-anchor reads
-    "better than target" while training improves (bits ratchet to min,
-    avg 3.0, -1 dB vs fixed-8); (b) comparing two UNPAIRED estimators
-    (quantized-loss EMA vs a separate fp-loss EMA) leaves trend-lag +
-    variance residuals of 5-20% that swamp the 5% controller bands —
-    bits parked at 12-21 for every tolerance <= 1.15
-    (acaq_r4_tol*.json); (c) the PAIRED ratio cancels the convergence
-    trend per-sample, so what remains IS the quantization-induced
-    inflation, the quantity MDL's tolerance is about. With tolerance t,
-    bits shrink while inflation < ~0.95t, grow beyond ~1.05t, and
-    equilibrate between (DIVERGENCES.md #33/#35). The tolerance is
-    ``config.mdl_tolerance`` (the reference hard-codes 1.2, accepting
-    ~1 dB by construction).
+    In MDL mode the caller (train/step.py) passes ``current_loss`` =
+    max(paired-inflation EMA, trajectory-degradation ratio) and
+    ``ref_loss`` = 1.0, a hybrid signal reached through FOUR measured
+    failures of simpler anchors (DIVERGENCES.md #33/#35, the committed
+    acaq_* JSONs): (a) the reference's raw ``best_loss * 1.2``
+    (run_nerf.py:1214-1222) ratchets to max_bits — the raw minimum is an
+    extreme-value statistic (avg 32.0 bits at 4000 iters); (b) a
+    smoothed SELF-anchor reads "better than target" while training
+    improves — bits ratchet to min (avg 3.0, -1 dB vs fixed-8); (c) two
+    UNPAIRED estimators (quantized-loss EMA vs fp-loss EMA) leave
+    trend-lag + variance residuals of 5-20% that swamp the 5% bands —
+    bits park at 12-21 for every tolerance <= 1.15; (d) the PAIRED
+    per-batch ratio quantized/bypassed cancels the trend exactly but is
+    blind to TRAJECTORY cost — under STE the weights adapt to the
+    quantizer, so the ratio reads ~1 even at destructively low bits
+    (bits walk to 2.0, training collapses). The hybrid covers both
+    axes: the paired ratio catches instantaneous quant noise, the
+    both-sides-EMA'd ``loss_ema / min-over-time(loss_ema)`` catches
+    absolute degradation, and bits shrink only when BOTH are within
+    tolerance. With tolerance t, bits equilibrate where the worse of
+    the two costs ~ t (``config.mdl_tolerance``; the reference
+    hard-codes 1.2, accepting ~1 dB by construction).
 
     Returns (new_state, target_metric). Pure: callers gate it on
     ``step % acaq_interval == 0`` with ``lax.cond``.

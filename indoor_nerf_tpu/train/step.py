@@ -105,6 +105,9 @@ def init_train_state(key: jax.Array, config: TrainConfig) -> TrainState:
         # A-CAQ controller thresholds (QuantConfig.loss_ema_decay).
         # best_loss (its running minimum) is kept for observability.
         "loss_ema": jnp.asarray(jnp.inf, jnp.float32),
+        # Slow (~10x window) companion of loss_ema: the A-CAQ trajectory
+        # guard reads the trend fast/slow (see train_step).
+        "loss_ema_slow": jnp.asarray(jnp.inf, jnp.float32),
         # EMA of the PAIRED quantization-inflation ratio (quantized loss /
         # quant-bypassed loss of the SAME batch under the SAME params) —
         # the MDL anchor signal (updated only at controller intervals;
@@ -364,6 +367,20 @@ def train_step(
         aux["img_loss"],
         d_ema * state["loss_ema"] + (1.0 - d_ema) * aux["img_loss"],
     )
+    # Slow companion EMA (~10x window): the A-CAQ trajectory guard reads
+    # the TREND fast/slow instead of fast/min — the running minimum is an
+    # extreme-value statistic that late-training noise sits 1.2-1.7x
+    # above permanently (measured, acaq_r4_hybrid_trace.json), while the
+    # trend ratio is ~1 on any plateau and >1 only during genuine
+    # degradation (e.g. a too-aggressive bit drop).
+    d_slow = 1.0 - (1.0 - d_ema) / 10.0
+    prev_slow = state.get("loss_ema_slow",
+                          jnp.asarray(jnp.inf, jnp.float32))
+    new_loss_slow = jnp.where(
+        jnp.isinf(prev_slow),
+        aux["img_loss"],
+        d_slow * prev_slow + (1.0 - d_slow) * aux["img_loss"],
+    )
 
     new_quant = aux["quant"]
     new_infl_ema = state.get("infl_ema", jnp.asarray(jnp.inf, jnp.float32))
@@ -393,12 +410,46 @@ def train_step(
                 )
                 fp_loss = jnp.mean((out_fp["rgb_map"] - target) ** 2)
                 ratio = aux["img_loss"] / jnp.maximum(fp_loss, 1e-30)
+                # SYMMETRIC deviation: healthy quantization is a small
+                # perturbation in EITHER direction. Under STE the weights
+                # adapt to the quantizer, so at destructive bits the
+                # quantized forward measures far BETTER than the bypassed
+                # one (ratio 0.06-0.37 at 2-3 bits while training sits at
+                # its 2-bit ceiling, acaq_r4_trend_tol10.json trace) — a
+                # one-sided ratio reads that as "no inflation" and keeps
+                # shrinking. |log ratio| large in either direction means
+                # the fp and quantized functions have diverged, i.e. bits
+                # are doing real damage.
+                dev = jnp.maximum(ratio, 1.0 / jnp.maximum(ratio, 1e-30))
                 d_fp = fc.quant.fp_ref_ema_decay
                 infl_ema = jnp.where(
-                    jnp.isinf(infl_ema), ratio,
-                    d_fp * infl_ema + (1.0 - d_fp) * ratio,
+                    jnp.isinf(infl_ema), dev,
+                    d_fp * infl_ema + (1.0 - d_fp) * dev,
                 )
-                current, ref = infl_ema, jnp.asarray(1.0, jnp.float32)
+                # The paired ratio alone is blind to TRAJECTORY cost:
+                # under STE the weights adapt to the quantizer — the
+                # quantized forward measures BETTER than the bypassed one
+                # (infl 0.4-0.9 throughout acaq_r4_hybrid_trace.json) —
+                # so at destructively low bits it still reads clean while
+                # absolute quality collapses (bits walk to min 2.0, train
+                # 19 dB, acaq_r4_paired_tol10.json). Guard with the
+                # TREND ratio fast-EMA / slow-EMA: ~1 on any plateau,
+                # > 1 only while the loss is genuinely degrading (the
+                # transient every too-aggressive bit drop causes). A
+                # min-based guard (loss_ema / best) ratchets bits up on
+                # the converged plateau instead — late-training noise
+                # sits 1.2-1.7x above the stale minimum permanently
+                # (acaq_r4_hybrid_trace.json, bits 7 -> 27.8 after
+                # it2400). infl is clamped at 1: adaptation making the
+                # quantized forward "better than fp" is not a mandate to
+                # shrink faster. max(): grow if EITHER real quant noise
+                # or degradation exceeds the band; shrink only when both
+                # are clean.
+                traj = new_loss_ema / jnp.maximum(new_loss_slow, 1e-30)
+                current = jnp.maximum(
+                    jnp.maximum(infl_ema, traj), 1.0
+                )
+                ref = jnp.asarray(1.0, jnp.float32)
             else:
                 current, ref = new_loss_ema, jnp.asarray(1.0, jnp.float32)
             new_q, _ = acaq_controller_update(q, current, ref, fc.quant)
@@ -446,6 +497,7 @@ def train_step(
         "step": step + 1,
         "best_loss": jnp.minimum(state["best_loss"], new_loss_ema),
         "loss_ema": new_loss_ema,
+        "loss_ema_slow": new_loss_slow,
         "infl_ema": new_infl_ema,
     }
 

@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--modes", default="fp,fixed8,acaq",
                     help="comma list of arms to run (training is same-seed "
                          "deterministic, so arms are reusable across runs)")
+    ap.add_argument("--trace", type=int, default=0,
+                    help="if >0, record avg bits + controller signals "
+                         "every N iters (quantized arms)")
     ap.add_argument("--out", default="acaq_experiment.json")
     args = ap.parse_args()
 
@@ -94,11 +97,29 @@ def main():
         step_fn = jax.jit(functools.partial(train_step, config=cfg))
         key = jax.random.PRNGKey(1)
         t0 = time.perf_counter()
+        trace = []
         for i in range(args.iters):
             key, sub = jax.random.split(key)
             batch = {k: jnp.asarray(v)
                      for k, v in sampler.next().items()}
             state, metrics = step_fn(state, batch, sub)
+            if args.trace and use_q and (i + 1) % args.trace == 0:
+                sb = np.asarray(state["quant"]["embed"]["soft_bits"])
+                row = {
+                    "iter": i + 1,
+                    "avg_bits": round(float(np.mean(sb)), 2),
+                    "loss_ema": float(state["loss_ema"]),
+                    "best_loss": float(state["best_loss"]),
+                    "dev_ema": float(state.get(
+                        "infl_ema", jnp.asarray(jnp.nan))),
+                }
+                row["trend"] = round(
+                    row["loss_ema"] / max(float(state.get(
+                        "loss_ema_slow", jnp.asarray(jnp.inf))), 1e-30), 4)
+                trace.append(row)
+                print(f"  it{i+1} bits {row['avg_bits']:.2f} "
+                      f"dev {row['dev_ema']:.4f} trend {row['trend']:.4f}",
+                      flush=True)
         train_psnr = float(metrics["psnr"])
         wall = time.perf_counter() - t0
 
@@ -123,10 +144,13 @@ def main():
         print(f"{mode}: train {train_psnr:.2f} test {test_psnr:.2f} "
               f"avg_bits {bits} table {table_mb} MB ({wall:.0f}s)",
               flush=True)
-        return {"train_psnr": round(train_psnr, 2),
-                "test_psnr": round(test_psnr, 2),
-                "avg_embed_bits": bits, "table_mb": table_mb,
-                "wall_s": round(wall, 1)}
+        out = {"train_psnr": round(train_psnr, 2),
+               "test_psnr": round(test_psnr, 2),
+               "avg_embed_bits": bits, "table_mb": table_mb,
+               "wall_s": round(wall, 1)}
+        if trace:
+            out["trace"] = trace
+        return out
 
     result = {"config": vars(args)}
     for mode in args.modes.split(","):

@@ -153,21 +153,30 @@ def test_mdl_fp_anchor_equilibrates_and_is_content_aware(rng):
 
     def closed_loop(sensitivity, steps=2000):
         # Loss model: quantized loss = fp_loss * (1 + sensitivity*2^-bits);
-        # fp loss converges 0.1 -> 0.01 with 10% batch noise. The paired
-        # ratio q/fp cancels both the trend and the batch noise up to the
-        # quantization interaction (modeled as 5% relative noise).
+        # fp loss converges 0.1 -> 0.01 with 10% batch noise. The
+        # controller signal is the shipped hybrid: max(paired-ratio EMA,
+        # loss_ema / best_loss) — the paired ratio cancels the trend and
+        # batch noise up to the quantization interaction (modeled as 5%
+        # relative noise); the trajectory guard compares the quantized
+        # loss EMA against its own running minimum.
         s = init_quant_state(CFG)
-        infl_ema = None
+        infl_ema = ema = slow = None
         for i in range(steps):
+            fp = 0.01 + 0.09 * np.exp(-i / 300.0)
+            fp *= 1.0 + 0.1 * float(rng.standard_normal())
+            bits = float(average_bits(s, CFG))
+            q = fp * (1.0 + sensitivity * 2.0 ** (-bits))
+            ema = q if ema is None else 0.99 * ema + 0.01 * q
+            slow = q if slow is None else 0.999 * slow + 0.001 * q
             if i % 10 == 0:
-                bits = float(average_bits(s, CFG))
                 ratio = (1.0 + sensitivity * 2.0 ** (-bits)) * (
                     1.0 + 0.05 * float(rng.standard_normal())
                 )
                 infl_ema = (ratio if infl_ema is None
                             else 0.9 * infl_ema + 0.1 * ratio)
                 s, _ = acaq_controller_update(
-                    s, jnp.asarray(infl_ema), jnp.asarray(1.0), CFG)
+                    s, jnp.asarray(max(1.0, infl_ema, ema / slow)),
+                    jnp.asarray(1.0), CFG)
         return float(average_bits(s, CFG))
 
     # Equilibrium where sensitivity*2^-b ~ 1.05*tolerance - 1 (~0.05 at
