@@ -124,13 +124,20 @@ def main():
     bakes = {}
 
     def get_bake(dt, gres=0, cp=100.0):
-        if (dt, gres, cp) not in bakes:
+        key = (dt, gres, cp)
+        if key not in bakes:
+            # Evict other bakes first: two resident 256^3 bakes exceed the
+            # chip's 16 GB HBM (a bf16 bake is ~4.4 GB; the int8 bake
+            # stages bf16 tables before quantizing). Group same-bake arms
+            # adjacently in --arms to avoid re-bakes.
+            for k in list(bakes):
+                del bakes[k]
             b = bake_field(state["params"], fc, resolution=args.baked_res,
                            table_dtype=dt, train_cameras=train_cams,
                            geo_resolution=gres, int8_clip_pct=cp)
             float(b["voxel_geo"].astype("float32").sum())
-            bakes[(dt, gres, cp)] = b
-        return bakes[(dt, gres, cp)]
+            bakes[key] = b
+        return bakes[key]
 
     def psnr(rgb, gt):
         return float(-10 * np.log10(np.mean((np.asarray(rgb) - gt) ** 2)))
