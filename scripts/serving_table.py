@@ -180,6 +180,10 @@ def main():
         gres = int(kv.get("gres", 0))  # coarser pass-2 geo table grid
         cp = float(kv.get("cp", 100.0))  # int8 geo-scale clip percentile
         rn = bool(int(kv.get("rn", 1)))  # top-k weight renormalization
+        # Drop the previous arm's renderer closures BEFORE baking: they
+        # pin the old bake's tables, and two resident 256^3 bakes exceed
+        # the chip's HBM.
+        baked = qrender = frender = out = None
         baked = get_bake(dt, gres, cp)
         row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so),
                "gres": gres, "cp": cp, "rn": int(rn)}
