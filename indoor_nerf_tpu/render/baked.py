@@ -66,6 +66,14 @@ class BakedConfig:
     # tables trade quality for bytes differently (BENCH_NOTES.md round-4
     # int8 attribution).
     table_dtype: str = "bfloat16"
+    # Sigma int8 encoding space: "log1p" (127 levels over log density;
+    # trilinear interp becomes a GEOMETRIC mean — a zero-density corner
+    # collapses it, eroding surfaces: measured -1.17 dB at k1,
+    # serving_table_r4e.json) or "sqrt" (127 levels over sqrt density;
+    # interp is an arithmetic mean of sqrt — a zero corner merely halves
+    # instead of annihilating, low-sigma resolution ~ (s/127)^2 stays
+    # fine). Ignored unless sigma_quantized.
+    sigma_enc: str = "sqrt"
     # Voxel-corner GEO table resolution (0 = same as ``resolution``).
     # Geo features are smooth relative to density, and the corner table is
     # the render's largest fetch cost BECAUSE of its size: GB-scale tables
@@ -225,6 +233,7 @@ def bake_field(
     vis_subsample: int = 4,
     geo_resolution: int = 0,
     int8_clip_pct: float = 100.0,
+    sigma_enc: str = "sqrt",
 ) -> Dict[str, Any]:
     """Bake a trained grid field into a block-tile snapshot.
 
@@ -262,6 +271,7 @@ def bake_field(
         multires_views=config.multires_views,
         table_dtype=table_dtype,
         geo_resolution=geo_resolution,
+        sigma_enc=sigma_enc,
     )
     E = bc.blocks_per_edge
     n_blocks = bc.n_blocks
@@ -328,9 +338,10 @@ def bake_field(
 
         @jax.jit
         def quantize_sigma(vs):
-            ls = jnp.log1p(jax.nn.relu(vs.astype(jnp.float32)))
-            s_sig = jnp.maximum(jnp.max(ls) / 127.0, 1e-8)
-            return jnp.round(ls / s_sig).astype(jnp.int8), s_sig
+            v = jax.nn.relu(vs.astype(jnp.float32))
+            enc = jnp.sqrt(v) if sigma_enc == "sqrt" else jnp.log1p(v)
+            s_sig = jnp.maximum(jnp.max(enc) / 127.0, 1e-8)
+            return jnp.round(enc / s_sig).astype(jnp.int8), s_sig
 
         vert_sigma, sigma_scale = quantize_sigma(vert_sigma)
     if quant_geo:
@@ -372,8 +383,9 @@ def bake_field(
         rows = jnp.take(vs, vid.reshape(-1), axis=0).reshape(n_blocks, LANES)
         rows = rows * live.astype(rows.dtype)
         bm = jnp.max(jax.nn.relu(rows.astype(jnp.float32)), axis=1)
-        if quant_sig:  # dequantize log-space back to density units
-            bm = jnp.expm1(bm * sigma_scale)
+        if quant_sig:  # dequantize back to density units
+            bm = (jnp.square(bm * sigma_scale) if sigma_enc == "sqrt"
+                  else jnp.expm1(bm * sigma_scale))
         return rows, bm
 
     sigma_table, block_max = build_sigma_tiles(vert_sigma)
@@ -471,6 +483,8 @@ def load_baked(path: str) -> Dict[str, Any]:
     cfg = dict(obj["config"])
     cfg["bbox_min"] = tuple(cfg["bbox_min"])
     cfg["bbox_max"] = tuple(cfg["bbox_max"])
+    # Snapshots written before the sqrt sigma encoding existed are log1p.
+    cfg.setdefault("sigma_enc", "log1p")
     baked["config"] = BakedConfig(**cfg)
     return baked
 
@@ -597,9 +611,12 @@ def baked_render_rays(
         1,
     ).reshape(n, n_samples)
     if bc.sigma_quantized:
-        # log1p-quantized density: interpolate in log space (geometric
-        # mean), then dequantize.
-        sigma = jnp.expm1(jax.nn.relu(sigma) * baked["sigma_scale"])
+        # Interpolate in the encoding space, then dequantize: sqrt-space
+        # interp is an arithmetic mean of sqrt (robust to zero corners);
+        # log1p-space interp is a geometric mean (kept for comparison).
+        enc = jax.nn.relu(sigma) * baked["sigma_scale"]
+        sigma = (jnp.square(enc) if bc.sigma_enc == "sqrt"
+                 else jnp.expm1(enc))
 
     # Standard compositing (ops/volume.py semantics, 1e10 tail).
     dists = jnp.concatenate(

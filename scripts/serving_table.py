@@ -123,8 +123,8 @@ def main():
     }
     bakes = {}
 
-    def get_bake(dt, gres=0, cp=100.0):
-        key = (dt, gres, cp)
+    def get_bake(dt, gres=0, cp=100.0, se="sqrt"):
+        key = (dt, gres, cp, se)
         if key not in bakes:
             # Evict other bakes first: two resident 256^3 bakes exceed the
             # chip's 16 GB HBM (a bf16 bake is ~4.4 GB; the int8 bake
@@ -134,7 +134,8 @@ def main():
                 del bakes[k]
             b = bake_field(state["params"], fc, resolution=args.baked_res,
                            table_dtype=dt, train_cameras=train_cams,
-                           geo_resolution=gres, int8_clip_pct=cp)
+                           geo_resolution=gres, int8_clip_pct=cp,
+                           sigma_enc=se)
             float(b["voxel_geo"].astype("float32").sum())
             bakes[key] = b
         return bakes[key]
@@ -180,13 +181,14 @@ def main():
         gres = int(kv.get("gres", 0))  # coarser pass-2 geo table grid
         cp = float(kv.get("cp", 100.0))  # int8 geo-scale clip percentile
         rn = bool(int(kv.get("rn", 1)))  # top-k weight renormalization
+        se = kv.get("se", "sqrt")  # int8 sigma encoding space
         # Drop the previous arm's renderer closures BEFORE baking: they
         # pin the old bake's tables, and two resident 256^3 bakes exceed
         # the chip's HBM.
         baked = qrender = frender = out = None
-        baked = get_bake(dt, gres, cp)
+        baked = get_bake(dt, gres, cp, se)
         row = {"nf": nf, "nc": nc, "k": k, "dtype": dt, "so": int(so),
-               "gres": gres, "cp": cp, "rn": int(rn)}
+               "gres": gres, "cp": cp, "rn": int(rn), "se": se}
 
         if not args.skip_quality:
             qrender = make_baked_image_renderer(
