@@ -65,9 +65,22 @@ class QuantConfig:
     # 1.2 (run_nerf.py:1216) therefore ACCEPTS ~1 dB of quantization cost
     # by construction — measured exactly that (-1.04 dB held-out vs
     # fixed-8 at 4000 iters, acaq_experiment_r4_4000.json). Default 1.0
-    # targets ~0.2 dB; see DIVERGENCES.md #34 and the 4000-iter tolerance
-    # sweep in BENCH_NOTES.md.
+    # targets ~0.2 dB; see DIVERGENCES.md #35 and the 4000-iter tolerance
+    # sweep in BENCH_NOTES.md. Effective floor is 1.0: the MDL signal is
+    # clamped to >= 1.0 (train/step.py — adaptation making the quantized
+    # forward "better than fp" is not a mandate to shrink faster), so any
+    # tolerance below ~1/1.05 would make the controller read permanent
+    # inflation and ratchet bits to max_bits. Validated in __post_init__.
     mdl_tolerance: float = 1.0
+
+    def __post_init__(self):
+        if self.mdl_tolerance < 1.0:
+            raise ValueError(
+                f"mdl_tolerance={self.mdl_tolerance} < 1.0: the MDL "
+                "controller signal is clamped to >= 1.0, so tolerances "
+                "below 1.0 silently ratchet bits to max_bits (the loss "
+                "ratio always exceeds the 1.05x grow band). Use >= 1.0."
+            )
 
 
 def _group(shape, init_bits: float, symmetric: bool) -> QuantState:

@@ -176,3 +176,53 @@ def eval_view_with_fitted_latent(
         "psnr_right_fitted": right_half_psnr(np.asarray(outz["rgb_map"]), gt),
         "fit_mse_left": fit_mse,
     }
+
+
+def fit_affine_color(pred: np.ndarray, gt: np.ndarray
+                     ) -> Tuple[np.ndarray, np.ndarray]:
+    """Closed-form per-channel affine color fit ``gt ~ a * pred + b``.
+
+    Exposure / white-balance is an AFFINE property of the capture (gain x
+    linear radiance + black-level offset — the model the reference's
+    EV-normalization inverts offline,
+    reference: notebooks/iphone_raw_preprocessing.ipynb EV-normalization
+    cell), so the per-view unknown is 6 numbers, not a field latent.
+    Ordinary least squares per channel over the given pixels:
+    ``a = cov(pred, gt) / var(pred)``, ``b = mean(gt) - a * mean(pred)``.
+    Near-constant predictions (var ~ 0) degrade to identity gain. Returns
+    (a ``[3]``, b ``[3]``) float32.
+    """
+    p = np.asarray(pred, np.float32).reshape(-1, 3)
+    g = np.asarray(gt, np.float32).reshape(-1, 3)
+    pm, gm = p.mean(axis=0), g.mean(axis=0)
+    var = ((p - pm) ** 2).mean(axis=0)
+    cov = ((p - pm) * (g - gm)).mean(axis=0)
+    a = np.where(var > 1e-8, cov / np.maximum(var, 1e-8), 1.0)
+    b = gm - a * pm
+    return a.astype(np.float32), b.astype(np.float32)
+
+
+def eval_view_with_fitted_affine(pred: np.ndarray, gt: np.ndarray
+                                 ) -> Dict[str, float]:
+    """Half-image affine protocol on an ALREADY-RENDERED view.
+
+    Model-agnostic test-time exposure adaptation (VERDICT round-4 weak
+    #4: anneal-trained arms fit the zero appearance latent exactly — the
+    color net learns to ignore the latent direction — so the latent
+    fitter cannot recover an unknown test exposure on exactly the arms
+    with the best generalization gap). This fits the 6-parameter affine
+    transform on the LEFT half of the view (closed form, no gradient
+    loop, no model requirements) and scores the RIGHT half — same
+    no-leak split as the NeRF-W latent protocol above, and the two are
+    directly comparable per view.
+    """
+    pred = np.asarray(pred, np.float32)
+    W = gt.shape[1]
+    a, b = fit_affine_color(pred[:, : W // 2], np.asarray(gt)[:, : W // 2])
+    adj = np.clip(pred * a[None, None] + b[None, None], 0.0, 1.0)
+    return {
+        "psnr_right_zero": right_half_psnr(pred, gt),
+        "psnr_right_affine": right_half_psnr(adj, gt),
+        "gain": [float(v) for v in a],
+        "bias": [float(v) for v in b],
+    }

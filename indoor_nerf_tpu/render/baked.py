@@ -231,7 +231,7 @@ def bake_field(
     train_cameras: Optional[Dict[str, Any]] = None,
     vis_threshold: float = 1e-3,
     vis_subsample: int = 4,
-    geo_resolution: int = 0,
+    geo_resolution: int = -1,
     int8_clip_pct: float = 100.0,
     sigma_enc: str = "sqrt",
 ) -> Dict[str, Any]:
@@ -251,8 +251,21 @@ def bake_field(
     """
     if not config.uses_grid:
         raise ValueError("bake_field needs a NeRFSmall-style grid field")
+    if sigma_enc not in ("sqrt", "log1p"):
+        # Anything else would silently fall through to log1p in both
+        # quantize_sigma and baked_render_rays (self-consistent but not
+        # what the caller asked for).
+        raise ValueError(f"sigma_enc must be 'sqrt' or 'log1p', got "
+                         f"{sigma_enc!r}")
     if resolution % BLOCK != 0:
         raise ValueError(f"resolution must be divisible by {BLOCK}")
+    if geo_resolution < 0:
+        # Flagship default: geo at HALF the density resolution. Measured
+        # quality-FREE (23.63 vs 23.64 dB held-out at the 256^3 flagship,
+        # serving_table_r4b.json — geo features are smooth relative to
+        # density) and it cuts the deployable artifact 4.3 GB -> 537 MB.
+        # Pass 0 for full-resolution geo. DIVERGENCES.md #30.
+        geo_resolution = resolution // 2
     if geo_resolution and resolution % geo_resolution != 0:
         # The stride keeps geo vertices an exact subset of bake vertices,
         # so the coarser table reuses the one vertex sweep (no re-query).

@@ -174,7 +174,9 @@ def build_parser() -> argparse.ArgumentParser:
              "loss < tolerance * quant-bypassed loss. The reference "
              "hard-codes 1.2 (run_nerf.py:1216), which by the controller's "
              "band structure accepts ~1 dB of quantization cost; 1.0 "
-             "targets ~0.2 dB (DIVERGENCES.md #34)")
+             "targets ~0.2 dB. Must be >= 1.0 — the controller signal is "
+             "clamped at 1.0, so lower values ratchet bits to max_bits "
+             "(DIVERGENCES.md #35)")
     add("--acaq_start_iter", type=int, default=1000)
 
     # TPU-framework extensions (not in the reference)
@@ -259,10 +261,11 @@ def build_parser() -> argparse.ArgumentParser:
              "training discretization")
     add("--render_baked_res", type=int, default=256,
         help="with --render_baked: bake grid resolution")
-    add("--render_baked_geo_res", type=int, default=0,
+    add("--render_baked_geo_res", type=int, default=-1,
         help="with --render_baked: voxel-corner GEO table resolution "
-             "(0 = same as render_baked_res; a divisor, e.g. 128, "
-             "shrinks the pass-2 table 8x for faster gathers)")
+             "(-1 = render_baked_res/2, the flagship default — measured "
+             "quality-free and 8x smaller, serving_table_r4b.json; 0 = "
+             "same as render_baked_res; any other divisor works)")
     add("--render_guided", type=int, default=4,
         help="with --render_baked: depth-guided coarse factor (0 = "
              "uniform 128-sample march)")

@@ -189,7 +189,7 @@ def main():
 
         render = make_image_renderer(rc.test_mode(), H, W, 4096)
         psnrs = []
-        half_zero, half_fit = [], []
+        half_zero, half_fit, half_aff = [], [], []
         for i_test in scene["i_split"][2]:
             gt = np.asarray(scene["images"][i_test])
             c2w = np.asarray(scene["poses"][i_test])[:3, :4]
@@ -197,6 +197,20 @@ def main():
                          scene["far"])
             psnrs.append(float(-10 * np.log10(
                 np.mean((np.asarray(out["rgb_map"]) - gt) ** 2))))
+            if args.jitter_test:
+                # Model-agnostic test-time exposure adaptation: the
+                # closed-form per-view affine color fit (left half fits,
+                # right half scores — render/appearance.py). Works on
+                # EVERY arm, including anneal arms whose color net
+                # ignores the latent direction (VERDICT round-4 weak #4).
+                from indoor_nerf_tpu.render.appearance import (
+                    eval_view_with_fitted_affine,
+                )
+
+                aff = eval_view_with_fitted_affine(
+                    np.asarray(out["rgb_map"]), gt)
+                half_aff.append(
+                    (aff["psnr_right_zero"], aff["psnr_right_affine"]))
             if args.jitter_test and use_appearance:
                 # Unknown test exposure: the NeRF-W half-image protocol
                 # (render/appearance.py) — fit a latent on the left
@@ -245,6 +259,13 @@ def main():
             res["half_psnr_fitted"] = round(float(np.mean(half_fit)), 2)
             print(f"  half-image: zero-latent {res['half_psnr_zero']:.2f} "
                   f"fitted {res['half_psnr_fitted']:.2f}", flush=True)
+        if half_aff:
+            z = float(np.mean([a[0] for a in half_aff]))
+            f_ = float(np.mean([a[1] for a in half_aff]))
+            res["half_psnr_affine_zero"] = round(z, 2)
+            res["half_psnr_affine"] = round(f_, 2)
+            print(f"  affine: zero {z:.2f} fitted {f_:.2f} "
+                  f"(+{f_ - z:.2f})", flush=True)
         return res
 
     # --- atomic arm specs (comma-list mode) -------------------------------

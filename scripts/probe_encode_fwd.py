@@ -1,0 +1,224 @@
+"""Probe: where do encode-forward's 12.17 ms go, and what makes it faster?
+
+roofline_r4.json prices the flagship encode-forward (1.05M row fetches of
+512 B bf16 + the tent-product trilinear contraction) at 12.17 ms against a
+3.5 ms row wall (the ~300M rows/s microbenchmark rate) — i.e. the fused
+gather+tent runs at ~86M rows/s, 3.5x off the wall. VERDICT round-4 item 2
+asks whether the tent contraction is VPU-bound (fuse it in Pallas / drop it
+to bf16) or whether the gather itself never ran at 300M rows/s at these
+shapes (width 256, bf16, 64k-row table). This measures every layer of that
+question on the real chip at the exact flagship shapes.
+
+Variants (all timed as 20-step device-side scans with the output folded
+into the carry — loop-invariant hoisting/DCE otherwise deletes the work —
+and the window closed by an actual value transfer, CLAUDE.md):
+
+  gather_*     : the bare row fetch at several (dtype, width) layouts
+  tent_only    : the tent contraction on resident rows (no gather)
+  fused_*      : gather + tent as XLA sees it in training (via
+                 block_hash_encode's actual code path)
+  einsum/bf16  : candidate cheaper contractions
+
+Usage: PYTHONPATH=.:$PYTHONPATH python scripts/probe_encode_fwd.py \
+        [--out tpu_probe_encode_fwd.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n_points", type=int, default=131072)
+    ap.add_argument("--n_steps", type=int, default=20)
+    ap.add_argument("--out", default="tpu_probe_encode_fwd.json")
+    args = ap.parse_args()
+
+    from indoor_nerf_tpu.utils.platform import apply_platform_env
+    apply_platform_env()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from indoor_nerf_tpu.ops.blockhash import (
+        BlockHashConfig,
+        _gather_interp,
+        _tile_coords,
+        _tent_weights,
+        init_block_table,
+    )
+
+    # Flagship geometry (bench.py): 8 levels x 4 features, 4^3 tiles
+    # (lpf=64, W=256), 2^13 rows/level, bf16 gather.
+    bb = ((-1.5,) * 3, (1.5,) * 3)
+    cfg = BlockHashConfig(
+        bbox_min=bb[0], bbox_max=bb[1], n_levels=8, n_features_per_level=4,
+        log2_rows=13, base_resolution=16, finest_resolution=512,
+        block_size=3, gather_dtype="bfloat16", scatter_dtype="bfloat16",
+    )
+    L, R = cfg.n_levels, cfg.rows_per_level
+    F, lpf = cfg.n_features_per_level, cfg.lanes_per_feature
+    W = F * lpf
+    N = args.n_points
+    M = N * L
+
+    key = jax.random.PRNGKey(0)
+    table = init_block_table(key, cfg)  # [L*R, W] f32
+    rng = np.random.default_rng(0)
+    pts = jnp.asarray(rng.uniform(-1.4, 1.4, size=(N, 3)), jnp.float32)
+    flat_row, p, _ = jax.jit(
+        functools.partial(_tile_coords, config=cfg))(pts)
+    flat_row = jax.block_until_ready(flat_row)
+    p = jax.block_until_ready(p)
+
+    results = {"config": {"n_points": N, "rows": M, "W": W, "L": L, "R": R,
+                          "n_steps": args.n_steps}}
+
+    def timeit(name, fn, *operands):
+        """20-step scan; each step's output full-sum feeds the carry."""
+
+        @jax.jit
+        def run(ops):
+            def body(carry, _):
+                out = fn(*ops, carry)
+                return jnp.sum(out.astype(jnp.float32)) * 1e-30, None
+
+            c, _ = jax.lax.scan(
+                body, jnp.asarray(0.0, jnp.float32), None,
+                length=args.n_steps)
+            return c
+
+        run(operands)  # compile + warm
+        t0 = time.perf_counter()
+        val = float(run(operands))  # value transfer closes the window
+        dt = (time.perf_counter() - t0) / args.n_steps * 1e3
+        rate = M / (dt / 1e3) / 1e6
+        results[name] = {"ms": round(dt, 3), "mrows_s": round(rate, 1)}
+        print(f"{name:28s} {dt:8.3f} ms  {rate:7.1f} M rows/s", flush=True)
+        return val
+
+    # --- bare gathers ------------------------------------------------------
+    tab_bf = jax.block_until_ready(table.astype(jnp.bfloat16))
+    tab_i8 = jax.block_until_ready(
+        jnp.round(table * 1e5).astype(jnp.int8))
+
+    timeit("gather_f32_w256",
+           lambda t, c: jnp.take(t, flat_row, axis=0) * (1.0 + c), table)
+    timeit("gather_bf16_w256",
+           lambda t, c: jnp.take(t, flat_row, axis=0).astype(jnp.float32)
+           * (1.0 + c), tab_bf)
+    timeit("gather_int8_w256",
+           lambda t, c: jnp.take(t, flat_row, axis=0).astype(jnp.float32)
+           * (1.0 + c), tab_i8)
+    # Same bytes, half the width, double the rows: [2*L*R, 128].
+    tab_bf_n = jax.block_until_ready(tab_bf.reshape(2 * L * R, 128))
+    idx2 = jax.block_until_ready(
+        jnp.stack([flat_row * 2, flat_row * 2 + 1], -1).reshape(-1))
+    timeit("gather_bf16_w128_2x",
+           lambda t, c: jnp.take(t, idx2, axis=0).astype(jnp.float32)
+           * (1.0 + c), tab_bf_n)
+    # Sorted row ids (locality ceiling; ignores the unsort cost).
+    idx_sorted = jax.block_until_ready(jnp.sort(flat_row))
+    timeit("gather_bf16_sorted",
+           lambda t, c: jnp.take(t, idx_sorted, axis=0).astype(jnp.float32)
+           * (1.0 + c), tab_bf)
+
+    # --- tent contraction on RESIDENT rows (no gather) ---------------------
+    rows_res = jax.block_until_ready(
+        jnp.take(tab_bf, flat_row, axis=0))  # [M, W] bf16
+
+    def tent_slices(rows, c):
+        r = rows.astype(jnp.float32) * (1.0 + c)
+        w = _tent_weights(p, cfg.side, lpf)
+        outs = [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * w, axis=1,
+                        keepdims=True) for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("tent_only_resident", tent_slices, rows_res)
+
+    def tent_einsum(rows, c):
+        r = rows.reshape(M, F, lpf).astype(jnp.float32) * (1.0 + c)
+        w = _tent_weights(p, cfg.side, lpf)
+        return jnp.einsum("mfl,ml->mf", r, w,
+                          preferred_element_type=jnp.float32)
+
+    timeit("tent_only_einsum", tent_einsum, rows_res)
+
+    def tent_bf16(rows, c):
+        w = _tent_weights(p, cfg.side, lpf).astype(jnp.bfloat16)
+        r = rows * (1.0 + c).astype(jnp.bfloat16)
+        outs = [jnp.sum((r[:, f * lpf:(f + 1) * lpf] * w)
+                        .astype(jnp.float32), axis=1, keepdims=True)
+                for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("tent_only_bf16", tent_bf16, rows_res)
+
+    # --- fused gather + tent (the real encode-forward) ---------------------
+    timeit("fused_current",
+           lambda t, c: _gather_interp(t * (1.0 + c), flat_row, p, cfg),
+           table)
+
+    def fused_precast(t, c):
+        # bf16 table is the operand (cast outside) — does the per-step
+        # astype in _gather_rows cost anything?
+        rows = jnp.take(t, flat_row, axis=0).astype(jnp.float32) * (1.0 + c)
+        w = _tent_weights(p, cfg.side, lpf)
+        outs = [jnp.sum(rows[:, f * lpf:(f + 1) * lpf] * w, axis=1,
+                        keepdims=True) for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("fused_precast_bf16", fused_precast, tab_bf)
+
+    def fused_bf16_tent(t, c):
+        rows = jnp.take(t, flat_row, axis=0)  # bf16, stays bf16
+        w = _tent_weights(p, cfg.side, lpf).astype(jnp.bfloat16)
+        r = rows * (1.0 + c).astype(jnp.bfloat16)
+        outs = [jnp.sum((r[:, f * lpf:(f + 1) * lpf] * w)
+                        .astype(jnp.float32), axis=1, keepdims=True)
+                for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("fused_bf16_tent", fused_bf16_tent, tab_bf)
+
+    def fused_einsum(t, c):
+        rows = jnp.take(t, flat_row, axis=0).reshape(M, F, lpf)
+        w = _tent_weights(p, cfg.side, lpf)
+        return jnp.einsum(
+            "mfl,ml->mf", rows.astype(jnp.float32) * (1.0 + c), w,
+            preferred_element_type=jnp.float32)
+
+    timeit("fused_einsum", fused_einsum, tab_bf)
+
+    # Level-split: 8 separate gathers from per-level [R, W] tables —
+    # tests whether table size (not total rows) sets the rate.
+    tabs = jax.block_until_ready(tab_bf.reshape(L, R, W))
+    rows_lvl = jax.block_until_ready(
+        flat_row.reshape(N, L) - jnp.arange(L, dtype=jnp.int32)[None] * R)
+
+    def fused_per_level(t, c):
+        outs = []
+        w = _tent_weights(p.reshape(N, L, 3)[:, 0], cfg.side, lpf)  # dummy
+        for l in range(L):
+            rows = jnp.take(t[l], rows_lvl[:, l], axis=0)
+            pl_ = p.reshape(N, L, 3)[:, l]
+            wl = _tent_weights(pl_, cfg.side, lpf)
+            r = rows.astype(jnp.float32) * (1.0 + c)
+            outs += [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * wl, axis=1,
+                             keepdims=True) for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("fused_per_level_split", fused_per_level, tabs)
+
+    with open(args.out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps({k: v for k, v in results.items() if k != "config"}))
+
+
+if __name__ == "__main__":
+    main()

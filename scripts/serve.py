@@ -141,8 +141,10 @@ def main():
                     help="bake the field at startup; serve from the "
                          "deferred-shading snapshot (render/baked.py)")
     ap.add_argument("--baked_res", type=int, default=256)
-    ap.add_argument("--baked_geo_res", type=int, default=0,
-                    help="pass-2 geo table resolution (0 = baked_res)")
+    ap.add_argument("--baked_geo_res", type=int, default=-1,
+                    help="pass-2 geo table resolution (-1 = baked_res/2, "
+                         "the quality-free flagship default; 0 = "
+                         "baked_res)")
     ap.add_argument("--baked_dtype", default="bfloat16",
                     choices=["bfloat16", "float32", "int8", "int8sig",
                              "int8geo"])

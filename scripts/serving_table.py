@@ -124,7 +124,13 @@ def main():
     bakes = {}
 
     def get_bake(dt, gres=0, cp=100.0, se="sqrt"):
-        key = (dt, gres, cp, se)
+        # Normalize the key: se only matters when the dtype quantizes
+        # sigma, cp only when it quantizes geo — otherwise identical bakes
+        # would re-run (evict-all policy makes that a full expensive
+        # re-bake per arm).
+        key = (dt, gres,
+               cp if dt in ("int8", "int8geo") else 100.0,
+               se if dt in ("int8", "int8sig") else "sqrt")
         if key not in bakes:
             # Evict other bakes first: two resident 256^3 bakes exceed the
             # chip's 16 GB HBM (a bf16 bake is ~4.4 GB; the int8 bake
@@ -145,6 +151,32 @@ def main():
 
     results = {}
 
+    # FPS pose block at fps_res (camera geometry as in probe_serving.py).
+    Hf = Wf = args.fps_res
+    Kf = np.array([[0.9 * Wf, 0, Wf / 2], [0, 0.9 * Wf, Hf / 2], [0, 0, 1]],
+                  np.float32)
+    B = args.pose_block
+    c2w0 = np.asarray(scene["poses"][scene["i_split"][2][0]])[:3, :4]
+    c2ws = np.stack([c2w0.copy() for _ in range(B)])
+    for b in range(B):
+        c2ws[b, 0, 3] += 0.02 * b
+        c2ws[b, 1, 3] -= 0.01 * b
+
+    # TRUE-GT quality at the SERVED resolution (VERDICT round-4 weak #7:
+    # "10.45 FPS at 23.92 dB" mixed 128^2 quality with 800^2 speed). The
+    # synthetic scene is analytic, so test view 0 regenerates exactly at
+    # fps_res (Kf keeps the scene's 0.9*W relative focal); frame 0 of the
+    # FPS pose block IS that pose, so each arm's hires PSNR column reuses
+    # the block already rendered for timing — zero extra renders.
+    gt_hires = None
+    if not args.skip_quality:
+        from indoor_nerf_tpu.data.synthetic import _render_analytic
+        from indoor_nerf_tpu.ops.rays import get_rays_np
+
+        ro, rd = get_rays_np(Hf, Wf, Kf, c2w0)
+        gt_hires = _render_analytic(
+            ro.reshape(-1, 3), rd.reshape(-1, 3)).reshape(Hf, Wf, 3)
+
     # Online reference quality (the ceiling the bake approximates).
     if not args.skip_quality:
         online = make_image_renderer(rc.test_mode(), H, W, 4096)
@@ -158,17 +190,16 @@ def main():
         results["online"] = {"test_psnr_db": round(float(np.mean(vals)), 2)}
         print(f"online: {results['online']['test_psnr_db']:.2f} dB",
               flush=True)
-
-    # FPS pose block at fps_res (camera geometry as in probe_serving.py).
-    Hf = Wf = args.fps_res
-    Kf = np.array([[0.9 * Wf, 0, Wf / 2], [0, 0.9 * Wf, Hf / 2], [0, 0, 1]],
-                  np.float32)
-    B = args.pose_block
-    c2w0 = np.asarray(scene["poses"][scene["i_split"][2][0]])[:3, :4]
-    c2ws = np.stack([c2w0.copy() for _ in range(B)])
-    for b in range(B):
-        c2ws[b, 0, 3] += 0.02 * b
-        c2ws[b, 1, 3] -= 0.01 * b
+        # Online ceiling at the SERVED resolution (same pose as the
+        # per-arm hires column; one slow ~10 s render, done once).
+        online_f = make_image_renderer(rc.test_mode(), Hf, Wf, 16384)
+        of = online_f(state["params"], c2w0, Kf, scene["near"],
+                      scene["far"])
+        results["online"]["hires_psnr_db"] = round(
+            psnr(of["rgb_map"], gt_hires), 2)
+        print(f"online hires ({Hf}^2): "
+              f"{results['online']['hires_psnr_db']:.2f} dB", flush=True)
+        del online_f, of
 
     for spec in args.arms.split(";"):
         name, _, kvs = spec.partition(":")
@@ -217,6 +248,10 @@ def main():
         spf = (time.perf_counter() - t0) / (n_calls * B)
         row["s_per_frame"] = round(spf, 4)
         row["fps"] = round(1.0 / spf, 2)
+        if gt_hires is not None:
+            # Frame 0 of the timed block is test pose 0 at fps_res.
+            row["hires_psnr_db"] = round(
+                psnr(np.asarray(out["rgb_map"])[0], gt_hires), 2)
         results[name] = row
         q = row.get("test_psnr_db")
         print(f"{name}: {row['fps']:.2f} FPS"

@@ -159,3 +159,58 @@ def test_jitter_test_gains_exposed():
     scene2 = make_room_scene(n_views=6, H=16, W=16, n_train=4,
                              exposure_jitter=0.3)
     assert np.all(scene2["exposure_gains"][4:] == 1.0)
+
+
+def test_affine_fit_recovers_exposure_gain():
+    """The closed-form affine fitter recovers a synthetic per-channel
+    gain/bias exactly (left half fits, right half scores)."""
+    from indoor_nerf_tpu.render.appearance import (
+        eval_view_with_fitted_affine,
+        fit_affine_color,
+    )
+
+    rng = np.random.default_rng(0)
+    pred = rng.uniform(0.1, 0.8, size=(16, 16, 3)).astype(np.float32)
+    a_true = np.array([1.15, 0.9, 1.05], np.float32)
+    b_true = np.array([0.02, -0.01, 0.0], np.float32)
+    gt = np.clip(pred * a_true + b_true, 0.0, 1.0)
+    a, b = fit_affine_color(pred, gt)
+    np.testing.assert_allclose(a, a_true, atol=1e-4)
+    np.testing.assert_allclose(b, b_true, atol=1e-4)
+
+    out = eval_view_with_fitted_affine(pred, gt)
+    # Affine-adjusted right half is a near-exact match; raw is not.
+    assert out["psnr_right_affine"] > 60.0
+    assert out["psnr_right_affine"] > out["psnr_right_zero"] + 5.0
+
+
+def test_affine_fit_degenerate_constant_pred():
+    """Near-constant predictions degrade to identity gain, not a blowup."""
+    from indoor_nerf_tpu.render.appearance import fit_affine_color
+
+    pred = np.full((8, 8, 3), 0.5, np.float32)
+    gt = np.full((8, 8, 3), 0.7, np.float32)
+    a, b = fit_affine_color(pred, gt)
+    assert np.all(np.isfinite(a)) and np.all(np.isfinite(b))
+    np.testing.assert_allclose(a, 1.0, atol=1e-6)
+    np.testing.assert_allclose(b, 0.2, atol=1e-6)
+
+
+def test_affine_fit_does_not_leak_right_half():
+    """Fitting uses ONLY the left half: corrupting the right half of gt
+    must not change the fitted transform."""
+    from indoor_nerf_tpu.render.appearance import fit_affine_color
+
+    rng = np.random.default_rng(1)
+    pred = rng.uniform(0.1, 0.9, size=(12, 12, 3)).astype(np.float32)
+    gt = np.clip(pred * 1.2 - 0.05, 0.0, 1.0)
+    gt_corrupt = gt.copy()
+    gt_corrupt[:, 6:] = rng.uniform(size=(12, 6, 3))
+    from indoor_nerf_tpu.render.appearance import (
+        eval_view_with_fitted_affine,
+    )
+
+    o1 = eval_view_with_fitted_affine(pred, gt)
+    o2 = eval_view_with_fitted_affine(pred, gt_corrupt)
+    np.testing.assert_allclose(o1["gain"], o2["gain"], atol=1e-6)
+    np.testing.assert_allclose(o1["bias"], o2["bias"], atol=1e-6)

@@ -50,7 +50,7 @@ def test_bake_exact_at_vertices():
     there), geo via a direct vertex-major row lookup."""
     fc, params = _tiny_field()
     baked = bake_field(params, fc, resolution=8, table_dtype="float32",
-                       blocks_per_chunk=8)
+                       blocks_per_chunk=8, geo_resolution=0)
     bc = baked["config"]
     assert baked["sigma_table"].shape == (bc.n_blocks, 128)
     assert baked["voxel_geo"].shape == (8**3, 128)
@@ -142,11 +142,19 @@ def test_bake_geo_resolution_subset():
     field is trilinear on the coarse grid — checked at coarse vertices)."""
     fc, params = _tiny_field()
     full = bake_field(params, fc, resolution=8, table_dtype="float32",
-                      blocks_per_chunk=8)
+                      blocks_per_chunk=8, geo_resolution=0)
     half = bake_field(params, fc, resolution=8, table_dtype="float32",
                       blocks_per_chunk=8, geo_resolution=4)
+    assert full["voxel_geo"].shape == (8**3, 128)
     assert half["voxel_geo"].shape == (4**3, 128)
     assert half["config"].geo_res == 4
+    # Flagship DEFAULT is geo at HALF the density resolution (measured
+    # quality-free and 8x smaller, serving_table_r4b.json; DIVERGENCES #30)
+    # — the default bake must equal the explicit half-res bake.
+    default = bake_field(params, fc, resolution=8, table_dtype="float32",
+                         blocks_per_chunk=8)
+    assert default["config"].geo_res == 4
+    assert default["voxel_geo"].shape == half["voxel_geo"].shape
     # sigma table unaffected by geo_resolution
     np.testing.assert_array_equal(np.asarray(full["sigma_table"]),
                                   np.asarray(half["sigma_table"]))
