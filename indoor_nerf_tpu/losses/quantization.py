@@ -193,16 +193,28 @@ def learned_fake_quant(
 
     bits = jnp.clip(soft_bits, config.min_bits, config.max_bits)
     int_bits = jnp.round(bits)
-    # qmin/qmax always use the *integer* bitwidth, even in training
-    # (reference: quantization.py:131-142,149).
-    if symmetric:
-        qmin = -jnp.exp2(int_bits - 1.0)
-        qmax = jnp.exp2(int_bits - 1.0) - 1.0
-    else:
-        qmin = jnp.zeros_like(int_bits)
-        qmax = jnp.exp2(int_bits) - 1.0
-
     b = bits if train else int_bits
+    # DIVERGENCE (bug fix, DIVERGENCES.md #37): the reference computes the
+    # clip bounds from the *rounded* bitwidth while the scale uses the
+    # *soft* bitwidth in training (quantization.py:131-142 vs :155-157).
+    # Whenever soft > int (every controller GROW phase) the representable
+    # range range_scale * (2^int - 1) / (2^soft - 1) covers only
+    # ~2^(int-soft) of the calibrated range — up to 29% of the top of the
+    # range is clamped to qmax. That distortion is INDEPENDENT of the bit
+    # level, so the MDL controller's paired deviation signal never falls
+    # as bits grow: deviation -> grow -> soft drifts above int -> more
+    # clipping -> deviation. Measured ratchet to max_bits with dev_ema
+    # pinned at 1.05-1.13 from 8 to 24 bits, then outright training
+    # collapse as persistent top-range clipping accumulates
+    # (acaq_r5_4000.json pre-fix trace). Fix: the clip bounds follow the
+    # SAME bitwidth as the scale (soft in training, integer at eval), so
+    # the quantizer always represents exactly the calibrated range.
+    if symmetric:
+        qmin = -jnp.exp2(b - 1.0)
+        qmax = jnp.exp2(b - 1.0) - 1.0
+    else:
+        qmin = jnp.zeros_like(b)
+        qmax = jnp.exp2(b) - 1.0
     if symmetric:
         scale = range_scale / jnp.exp2(b - 1.0)
         zero_point = jnp.zeros_like(scale)

@@ -265,17 +265,28 @@ def _quantize_corner_feats(
 
     bits = jnp.clip(group["soft_bits"], qc.min_bits, qc.max_bits)
     int_bits = jnp.round(bits)
-    qmin = jnp.zeros_like(int_bits)
-    qmax = jnp.exp2(int_bits) - 1.0
     b = bits if train else int_bits
+    # Same three fixes as losses/quantization.py::learned_fake_quant
+    # (DIVERGENCES.md #37, #11): clip bounds follow the SAME bitwidth as
+    # the scale (soft in training — the reference's int-bits bounds clamp
+    # up to 29% of the range whenever soft > int, the bits-independent
+    # distortion behind the A-CAQ ratchet), the scale guard is
+    # MULTIPLICATIVE (the reference's `scale + 1e-8` dominates the true
+    # step beyond ~26 bits and shrinks everything toward zero), and
+    # >= 24 bits passes through exactly (a no-op for f32 data).
+    qmin = jnp.zeros_like(b)
+    qmax = jnp.exp2(b) - 1.0
     scale = jnp.clip(group["range_scale"], min=1e-8) / (jnp.exp2(b) - 1.0)
+    safe_scale = jnp.maximum(scale, 1e-30)
     # Min-anchored zero point (see losses/quantization.py for the bug-fix
     # rationale vs the reference's v_max anchoring).
-    zero_point = jnp.round(jnp.clip(-group["running_min"] / scale, qmin, qmax))
+    zero_point = jnp.round(
+        jnp.clip(-group["running_min"] / safe_scale, qmin, qmax))
 
-    x_scaled = corner_feats / bc(scale + 1e-8)
+    x_scaled = corner_feats / bc(safe_scale)
     x_quant = jnp.clip(jnp.round(x_scaled + bc(zero_point)), bc(qmin), bc(qmax))
-    x_dequant = (x_quant - bc(zero_point)) * bc(scale)
+    x_dequant = (x_quant - bc(zero_point)) * bc(safe_scale)
+    x_dequant = jnp.where(bc(bits >= 24.0), corner_feats, x_dequant)
     if train:
         q = corner_feats + jax.lax.stop_gradient(x_dequant - corner_feats)
     else:
@@ -341,18 +352,27 @@ def _quantize_block_table(
 
     bits = jnp.clip(group["soft_bits"], qc.min_bits, qc.max_bits)
     int_bits = jnp.round(bits)
-    qmin = jnp.zeros_like(int_bits)
-    qmax = jnp.exp2(int_bits) - 1.0
     b = bits if train else int_bits
+    # Same three fixes as losses/quantization.py::learned_fake_quant
+    # (DIVERGENCES.md #37, #11): soft-consistent clip bounds,
+    # multiplicative scale guard, exact >= 24-bit passthrough. The
+    # pre-fix additive `scale + 1e-8` was the it2400+ collapse in
+    # acaq_r5_4000_fix.json: at 28+ table bits the epsilon is 5-40% of
+    # the true step, so the WHOLE dequantized table shrank by that
+    # factor every forward while STE gradients never saw it.
+    qmin = jnp.zeros_like(b)
+    qmax = jnp.exp2(b) - 1.0
     scale = jnp.clip(lvl_max - lvl_min, min=1e-8) / (jnp.exp2(b) - 1.0)
-    zero_point = jnp.round(jnp.clip(-lvl_min / scale, qmin, qmax))
+    safe_scale = jnp.maximum(scale, 1e-30)
+    zero_point = jnp.round(jnp.clip(-lvl_min / safe_scale, qmin, qmax))
 
     def col(v):  # [L] -> [L, 1]
         return v[:, None]
 
-    x_scaled = t / col(scale + 1e-8)
+    x_scaled = t / col(safe_scale)
     x_quant = jnp.clip(jnp.round(x_scaled + col(zero_point)), col(qmin), col(qmax))
-    x_dequant = (x_quant - col(zero_point)) * col(scale)
+    x_dequant = (x_quant - col(zero_point)) * col(safe_scale)
+    x_dequant = jnp.where(col(bits >= 24.0), t, x_dequant)
     if train:
         q = t + jax.lax.stop_gradient(x_dequant - t)
     else:

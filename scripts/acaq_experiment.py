@@ -108,6 +108,12 @@ def main():
                 row = {
                     "iter": i + 1,
                     "avg_bits": round(float(np.mean(sb)), 2),
+                    "embed_bits_min": round(float(np.min(sb)), 2),
+                    "embed_bits_max": round(float(np.max(sb)), 2),
+                    "act_bits": round(float(np.mean(np.asarray(
+                        state["quant"]["act"]["soft_bits"]))), 2),
+                    "weight_bits": round(float(np.asarray(
+                        state["quant"]["weight"]["soft_bits"])), 2),
                     "loss_ema": float(state["loss_ema"]),
                     "best_loss": float(state["best_loss"]),
                     "dev_ema": float(state.get(

@@ -238,3 +238,38 @@ def test_layer_factor_varies_deltas():
     )
     deltas = np.asarray(new_state["embed"]["soft_bits"]) - 8.0
     assert len(np.unique(np.round(deltas, 6))) > 1
+
+
+def test_train_clip_bounds_follow_soft_bits(rng):
+    """Soft bits ABOVE the rounded integer must not clamp the top of the
+    calibrated range (reference bug, DIVERGENCES.md #37: int-bits clip
+    bounds + soft-bits scale chop up to 29% of the range whenever
+    soft > int — the bits-independent distortion that made the MDL
+    controller ratchet, acaq_r5_4000.json pre-fix trace)."""
+    x = jnp.asarray(np.linspace(0.0, 1.0, 257, dtype=np.float32))
+    for soft in (8.49, 12.3, 20.45, 23.4):
+        g = _calibrated_group(x, symmetric=False)
+        g = dict(g, soft_bits=jnp.asarray(soft, jnp.float32))
+        q = learned_fake_quant(x, g, CFG, symmetric=False, train=True)
+        scale = 1.0 / (2.0 ** soft - 1.0)  # range 1.0
+        # Every value — including the top of the range — quantizes to
+        # within one step; under the int-bits clip the top values sat
+        # ~(1 - 2^(round(soft)-soft)) * range away.
+        err = np.abs(np.asarray(q) - np.asarray(x))
+        assert float(err.max()) <= scale + 1e-7, (soft, float(err.max()))
+
+
+def test_train_soft_below_int_unchanged_semantics(rng):
+    """Soft bits BELOW the integer keep the old behavior (the old int
+    bounds never clipped there); eval path (integer bits) is untouched."""
+    x = jnp.asarray(np.linspace(0.0, 1.0, 129, dtype=np.float32))
+    g = _calibrated_group(x, symmetric=False)
+    g = dict(g, soft_bits=jnp.asarray(7.6, jnp.float32))
+    q_train = learned_fake_quant(x, g, CFG, symmetric=False, train=True)
+    scale = 1.0 / (2.0 ** 7.6 - 1.0)
+    assert float(np.abs(np.asarray(q_train) - np.asarray(x)).max()) \
+        <= scale + 1e-7
+    q_eval = learned_fake_quant(x, g, CFG, symmetric=False, train=False)
+    scale8 = 1.0 / (2.0 ** 8.0 - 1.0)
+    assert float(np.abs(np.asarray(q_eval) - np.asarray(x)).max()) \
+        <= scale8 + 1e-7
