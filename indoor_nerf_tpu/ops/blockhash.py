@@ -56,6 +56,16 @@ from indoor_nerf_tpu.ops.hashing import BOX_OFFSETS
 
 BLOCK = 4  # default voxels per block edge; 5^3 = 125 vertices <= 128 lanes
 USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
+# Route the tent-product contraction of the encode FORWARD through the
+# Pallas streaming kernel (ops/pallas/tent_contract.py) wherever the
+# fused custom-VJP path is already active (so no new VJP boundary is
+# introduced — the lesson of the retired tile_interp kernel). The XLA
+# fused gather+tent runs at 3.5x the row-fetch wall (roofline_r4.json:
+# 12.17 ms vs 3.5 ms); the kernel streams the gathered rows through VMEM
+# once. Measured numbers in BENCH_NOTES.md round-5.
+USE_TENT_KERNEL = False
+# Test hook: run the tent kernel in interpreter mode off-TPU.
+_FORCE_TENT_KERNEL_INTERPRET = False
 # Route the fused backward's table scatter through the Pallas VMEM-resident
 # accumulation kernel (ops/pallas/table_scatter.py) when the shapes allow.
 # The XLA scatter-add is transaction-bound (~59M rows/s, tpu_probe_bwd.json);
@@ -333,7 +343,7 @@ def _gather_rows(
 
 def _gather_interp(
     table: jnp.ndarray, flat_row: jnp.ndarray, p: jnp.ndarray,
-    config: BlockHashConfig,
+    config: BlockHashConfig, allow_kernel: bool = False,
 ) -> jnp.ndarray:
     """ONE wide gather per (point, level) + tent-product interpolation.
 
@@ -352,6 +362,25 @@ def _gather_interp(
     hardware/compilers. Optionally move the rows (and, under XLA autodiff,
     their backward cotangent) in bfloat16 — the 33 MB table cast is
     negligible next to the GBs of row traffic it halves."""
+    if allow_kernel and USE_TENT_KERNEL and config.gather_dtype != "int8":
+        # Only reached from inside the fused custom-VJP encode (whose
+        # backward never differentiates through this forward), so the
+        # pallas_call needs no VJP of its own. The kernel operand is the
+        # bare gathered rows in gather_dtype — for bf16 that halves the
+        # materialized [M, W] intermediate the pallas_call boundary
+        # forces (the f32 upcast happens lane-block-at-a-time in VMEM).
+        from indoor_nerf_tpu.ops.pallas.lane_gather import _on_tpu
+        from indoor_nerf_tpu.ops.pallas.tent_contract import tent_contract
+
+        on_tpu = _on_tpu()
+        if on_tpu or _FORCE_TENT_KERNEL_INTERPRET:
+            src = table
+            if config.gather_dtype == "bfloat16":
+                src = table.astype(jnp.bfloat16)
+            raw = jnp.take(src, flat_row, axis=0)
+            return tent_contract(
+                raw, p, config.side, config.n_features_per_level,
+                interpret=not on_tpu)
     rows = _gather_rows(table, flat_row, config)
 
     if USE_TILE_INTERP_KERNEL and config.block_size == BLOCK:
@@ -401,12 +430,12 @@ def _encode_fused(
     Gradient w.r.t. the input points is ZERO (documented in
     BlockHashConfig.scatter_dtype)."""
     flat_row, p, _ = _tile_coords(x, config, levels)
-    return _gather_interp(table, flat_row, p, config)
+    return _gather_interp(table, flat_row, p, config, allow_kernel=True)
 
 
 def _encode_fused_fwd(table, x, config, levels=None):
     flat_row, p, _ = _tile_coords(x, config, levels)
-    out = _gather_interp(table, flat_row, p, config)
+    out = _gather_interp(table, flat_row, p, config, allow_kernel=True)
     return out, (flat_row, p)
 
 
@@ -767,7 +796,7 @@ def _encode_grouped_fused(
     w.r.t. the points is ZERO (BlockHashConfig.scatter_dtype note)."""
     Rn, S, _ = x3.shape
     flat_row, p, _ = _tile_coords(x3.reshape(-1, 3), config, None)
-    out = _gather_interp(table, flat_row, p, config)
+    out = _gather_interp(table, flat_row, p, config, allow_kernel=True)
     return out.reshape(Rn, S, config.n_levels * config.n_features_per_level)
 
 

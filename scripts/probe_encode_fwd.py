@@ -195,6 +195,47 @@ def main():
 
     timeit("fused_einsum", fused_einsum, tab_bf)
 
+    # --- constant lane decode (no per-element integer division) ------------
+    lane_c = np.arange(lpf)
+    lx_c = jnp.asarray((lane_c // (cfg.side * cfg.side)).astype(np.float32))
+    ly_c = jnp.asarray(((lane_c // cfg.side) % cfg.side).astype(np.float32))
+    lz_c = jnp.asarray((lane_c % cfg.side).astype(np.float32))
+
+    def tent_const(rows, c):
+        r = rows.astype(jnp.float32) * (1.0 + c)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx_c[None, :] - p[:, 0:1]))
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly_c[None, :] - p[:, 1:2]))
+        tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz_c[None, :] - p[:, 2:3]))
+        w = tx * ty * tz
+        outs = [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * w, axis=1,
+                        keepdims=True) for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("tent_only_const_decode", tent_const, rows_res)
+
+    def fused_const(t, c):
+        rows = jnp.take(t, flat_row, axis=0)
+        return tent_const(rows, c)
+
+    timeit("fused_const_decode", fused_const, tab_bf)
+
+    # --- Pallas streaming contraction kernel --------------------------------
+    from indoor_nerf_tpu.ops.pallas.tent_contract import tent_contract
+
+    interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
+
+    def tent_pallas(rows, c):
+        r = (rows.astype(jnp.float32) * (1.0 + c)).astype(jnp.bfloat16)
+        return tent_contract(r, p, cfg.side, F, interpret=interp)
+
+    timeit("tent_only_pallas", tent_pallas, rows_res)
+
+    def fused_pallas(t, c):
+        rows = jnp.take(t * (1.0 + c).astype(t.dtype), flat_row, axis=0)
+        return tent_contract(rows, p, cfg.side, F, interpret=interp)
+
+    timeit("fused_pallas_bf16", fused_pallas, tab_bf)
+
     # Level-split: 8 separate gathers from per-level [R, W] tables —
     # tests whether table size (not total rows) sets the rate.
     tabs = jax.block_until_ready(tab_bf.reshape(L, R, W))
