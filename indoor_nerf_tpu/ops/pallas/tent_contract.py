@@ -5,7 +5,7 @@ row gather ``[M, F*lpf]`` followed by the tent-product trilinear
 contraction to ``[M, F]``. roofline_r4.json prices the XLA-fused form at
 12.17 ms against a 3.5 ms row-transaction wall — the contraction's weight
 construction (lane decode + three tents + product) plus the per-feature
-multiply-reduce runs on the VPU at 3.5x the fetch cost (VERDICT round-4
+multiply-reduce runs on the VPU at ~2-3x the fetch cost (VERDICT round-4
 weak #5 / next-round item 2).
 
 This kernel computes ONLY the contraction: rows stay an XLA gather (the
@@ -16,6 +16,10 @@ fetch), and the kernel streams the gathered rows through VMEM once —
 with the lane -> (lx, ly, lz) tile decode done on iota (shift/mask when
 ``side`` is a power of two — the flagship block_size=3 layout has
 side = 4, lpf = 64). One read of rows + one read of p, one [M, F] write.
+
+Every kernel operand block is (8, 128)-aligned: the [M, 3] positions are
+padded to 128 lanes once outside the kernel (narrow 3-lane blocks are the
+fragile Mosaic direction — unaligned small DMAs per grid step).
 
 Used INSIDE the fused custom-VJP encode (blockhash._encode_fused), whose
 backward is already hand-written — so unlike the retired tile_interp
@@ -39,6 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _CHUNK = 2048  # rows per grid step
+_PLANES = 128  # lane padding of the position operand
 
 
 def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
@@ -77,13 +82,16 @@ def tent_contract(
     if m_pad != M:
         rows = jnp.pad(rows, ((0, m_pad - M), (0, 0)))
         p = jnp.pad(p, ((0, m_pad - M), (0, 0)))
+    # Lane-align the position operand (3 -> 128); [M, 3] f32 already
+    # occupies a full 128-lane tile physically, so this adds no HBM bytes.
+    p = jnp.pad(p, ((0, 0), (0, _PLANES - 3)))
     out = pl.pallas_call(
         functools.partial(_kernel, side=side, F=F, lpf=lpf),
         grid=(m_pad // _CHUNK,),
         in_specs=[
             pl.BlockSpec((_CHUNK, W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, 3), lambda i: (i, 0),
+            pl.BlockSpec((_CHUNK, _PLANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((_CHUNK, 128), lambda i: (i, 0),

@@ -1,23 +1,29 @@
-"""Probe: where do encode-forward's 12.17 ms go, and what makes it faster?
+"""Probe: where does encode-forward's time go, and what makes it faster?
 
 roofline_r4.json prices the flagship encode-forward (1.05M row fetches of
 512 B bf16 + the tent-product trilinear contraction) at 12.17 ms against a
-3.5 ms row wall (the ~300M rows/s microbenchmark rate) — i.e. the fused
-gather+tent runs at ~86M rows/s, 3.5x off the wall. VERDICT round-4 item 2
-asks whether the tent contraction is VPU-bound (fuse it in Pallas / drop it
-to bf16) or whether the gather itself never ran at 300M rows/s at these
-shapes (width 256, bf16, 64k-row table). This measures every layer of that
-question on the real chip at the exact flagship shapes.
+3.5 ms row wall (the ~300M rows/s microbenchmark rate). VERDICT round-4
+item 2 asks whether the tent contraction is VPU-bound (fuse it in Pallas /
+drop it to bf16) or whether the gather itself never ran at 300M rows/s at
+these shapes. This measures every layer of that question on the real chip
+at the exact flagship shapes.
 
-Variants (all timed as 20-step device-side scans with the output folded
-into the carry — loop-invariant hoisting/DCE otherwise deletes the work —
-and the window closed by an actual value transfer, CLAUDE.md):
+HARNESS RULES (each violated by the first version of this probe, which
+over-reported every variant ~6x):
+- the scan carry perturbs a SMALL operand (the 33 MB table, or the [M, 3]
+  positions) so the per-step work is the op under test, not a GB-scale
+  carry materialization;
+- the warm call is DRAINED with float(...) — over the axon tunnel an
+  undrained warm call queues behind the timed call and inflates it;
+- the output full-sum feeds the carry so XLA can neither hoist the
+  loop-invariant gather out of the scan nor DCE it (CLAUDE.md).
 
+Variants:
   gather_*     : the bare row fetch at several (dtype, width) layouts
-  tent_only    : the tent contraction on resident rows (no gather)
-  fused_*      : gather + tent as XLA sees it in training (via
-                 block_hash_encode's actual code path)
-  einsum/bf16  : candidate cheaper contractions
+  tent_only_*  : the tent contraction on resident rows (no gather);
+                 the carry perturbs p, so tent weights recompute per step
+  fused_*      : gather + tent as one XLA program (the training forward)
+  *_pallas     : the ops/pallas/tent_contract.py streaming kernel
 
 Usage: PYTHONPATH=.:$PYTHONPATH python scripts/probe_encode_fwd.py \
         [--out tpu_probe_encode_fwd.json]
@@ -80,7 +86,8 @@ def main():
                           "n_steps": args.n_steps}}
 
     def timeit(name, fn, *operands):
-        """20-step scan; each step's output full-sum feeds the carry."""
+        """n_steps-step scan; each step's output full-sum feeds the carry;
+        fn(*operands, carry) must apply the carry to a SMALL operand."""
 
         @jax.jit
         def run(ops):
@@ -93,7 +100,7 @@ def main():
                 length=args.n_steps)
             return c
 
-        run(operands)  # compile + warm
+        float(run(operands))  # compile + warm, fully drained
         t0 = time.perf_counter()
         val = float(run(operands))  # value transfer closes the window
         dt = (time.perf_counter() - t0) / args.n_steps * 1e3
@@ -102,120 +109,98 @@ def main():
         print(f"{name:28s} {dt:8.3f} ms  {rate:7.1f} M rows/s", flush=True)
         return val
 
-    # --- bare gathers ------------------------------------------------------
+    def bump(t, c):
+        """Carry-dependent table perturbation (one 33-66 MB pass)."""
+        return t * (1.0 + c).astype(t.dtype)
+
+    # --- bare gathers (carry perturbs the TABLE before the fetch) ----------
     tab_bf = jax.block_until_ready(table.astype(jnp.bfloat16))
     tab_i8 = jax.block_until_ready(
         jnp.round(table * 1e5).astype(jnp.int8))
 
     timeit("gather_f32_w256",
-           lambda t, c: jnp.take(t, flat_row, axis=0) * (1.0 + c), table)
+           lambda t, c: jnp.take(bump(t, c), flat_row, axis=0), table)
     timeit("gather_bf16_w256",
-           lambda t, c: jnp.take(t, flat_row, axis=0).astype(jnp.float32)
-           * (1.0 + c), tab_bf)
+           lambda t, c: jnp.take(bump(t, c), flat_row, axis=0), tab_bf)
     timeit("gather_int8_w256",
-           lambda t, c: jnp.take(t, flat_row, axis=0).astype(jnp.float32)
-           * (1.0 + c), tab_i8)
+           lambda t, c: jnp.take(
+               (t + jnp.round(c * 1e-30).astype(t.dtype)), flat_row, axis=0),
+           tab_i8)
     # Same bytes, half the width, double the rows: [2*L*R, 128].
     tab_bf_n = jax.block_until_ready(tab_bf.reshape(2 * L * R, 128))
     idx2 = jax.block_until_ready(
         jnp.stack([flat_row * 2, flat_row * 2 + 1], -1).reshape(-1))
     timeit("gather_bf16_w128_2x",
-           lambda t, c: jnp.take(t, idx2, axis=0).astype(jnp.float32)
-           * (1.0 + c), tab_bf_n)
+           lambda t, c: jnp.take(bump(t, c), idx2, axis=0), tab_bf_n)
     # Sorted row ids (locality ceiling; ignores the unsort cost).
     idx_sorted = jax.block_until_ready(jnp.sort(flat_row))
     timeit("gather_bf16_sorted",
-           lambda t, c: jnp.take(t, idx_sorted, axis=0).astype(jnp.float32)
-           * (1.0 + c), tab_bf)
+           lambda t, c: jnp.take(bump(t, c), idx_sorted, axis=0), tab_bf)
+    # Uniform random rows (the historical 300M rows/s microbenchmark law).
+    idx_u = jax.block_until_ready(jnp.asarray(
+        rng.integers(0, L * R, size=(M,)), jnp.int32))
+    timeit("gather_bf16_uniform",
+           lambda t, c: jnp.take(bump(t, c), idx_u, axis=0), tab_bf)
 
-    # --- tent contraction on RESIDENT rows (no gather) ---------------------
+    # --- tent contraction on RESIDENT rows (carry perturbs p) --------------
     rows_res = jax.block_until_ready(
         jnp.take(tab_bf, flat_row, axis=0))  # [M, W] bf16
 
-    def tent_slices(rows, c):
-        r = rows.astype(jnp.float32) * (1.0 + c)
-        w = _tent_weights(p, cfg.side, lpf)
+    def tent_slices(rows, pp, c):
+        w = _tent_weights(pp + (1e-20 * c), cfg.side, lpf)
+        r = rows.astype(jnp.float32)
         outs = [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * w, axis=1,
                         keepdims=True) for f in range(F)]
         return jnp.concatenate(outs, axis=1)
 
-    timeit("tent_only_resident", tent_slices, rows_res)
+    timeit("tent_only_resident", tent_slices, rows_res, p)
 
-    def tent_einsum(rows, c):
-        r = rows.reshape(M, F, lpf).astype(jnp.float32) * (1.0 + c)
-        w = _tent_weights(p, cfg.side, lpf)
-        return jnp.einsum("mfl,ml->mf", r, w,
-                          preferred_element_type=jnp.float32)
-
-    timeit("tent_only_einsum", tent_einsum, rows_res)
-
-    def tent_bf16(rows, c):
-        w = _tent_weights(p, cfg.side, lpf).astype(jnp.bfloat16)
-        r = rows * (1.0 + c).astype(jnp.bfloat16)
-        outs = [jnp.sum((r[:, f * lpf:(f + 1) * lpf] * w)
+    def tent_bf16(rows, pp, c):
+        w = _tent_weights(pp + (1e-20 * c), cfg.side, lpf).astype(
+            jnp.bfloat16)
+        outs = [jnp.sum((rows[:, f * lpf:(f + 1) * lpf] * w)
                         .astype(jnp.float32), axis=1, keepdims=True)
                 for f in range(F)]
         return jnp.concatenate(outs, axis=1)
 
-    timeit("tent_only_bf16", tent_bf16, rows_res)
+    timeit("tent_only_bf16", tent_bf16, rows_res, p)
 
-    # --- fused gather + tent (the real encode-forward) ---------------------
-    timeit("fused_current",
-           lambda t, c: _gather_interp(t * (1.0 + c), flat_row, p, cfg),
-           table)
-
-    def fused_precast(t, c):
-        # bf16 table is the operand (cast outside) — does the per-step
-        # astype in _gather_rows cost anything?
-        rows = jnp.take(t, flat_row, axis=0).astype(jnp.float32) * (1.0 + c)
-        w = _tent_weights(p, cfg.side, lpf)
-        outs = [jnp.sum(rows[:, f * lpf:(f + 1) * lpf] * w, axis=1,
-                        keepdims=True) for f in range(F)]
-        return jnp.concatenate(outs, axis=1)
-
-    timeit("fused_precast_bf16", fused_precast, tab_bf)
-
-    def fused_bf16_tent(t, c):
-        rows = jnp.take(t, flat_row, axis=0)  # bf16, stays bf16
-        w = _tent_weights(p, cfg.side, lpf).astype(jnp.bfloat16)
-        r = rows * (1.0 + c).astype(jnp.bfloat16)
-        outs = [jnp.sum((r[:, f * lpf:(f + 1) * lpf] * w)
-                        .astype(jnp.float32), axis=1, keepdims=True)
-                for f in range(F)]
-        return jnp.concatenate(outs, axis=1)
-
-    timeit("fused_bf16_tent", fused_bf16_tent, tab_bf)
-
-    def fused_einsum(t, c):
-        rows = jnp.take(t, flat_row, axis=0).reshape(M, F, lpf)
-        w = _tent_weights(p, cfg.side, lpf)
-        return jnp.einsum(
-            "mfl,ml->mf", rows.astype(jnp.float32) * (1.0 + c), w,
-            preferred_element_type=jnp.float32)
-
-    timeit("fused_einsum", fused_einsum, tab_bf)
-
-    # --- constant lane decode (no per-element integer division) ------------
+    # Constant lane decode (no per-element integer division).
     lane_c = np.arange(lpf)
     lx_c = jnp.asarray((lane_c // (cfg.side * cfg.side)).astype(np.float32))
     ly_c = jnp.asarray(((lane_c // cfg.side) % cfg.side).astype(np.float32))
     lz_c = jnp.asarray((lane_c % cfg.side).astype(np.float32))
 
-    def tent_const(rows, c):
-        r = rows.astype(jnp.float32) * (1.0 + c)
-        tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx_c[None, :] - p[:, 0:1]))
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly_c[None, :] - p[:, 1:2]))
-        tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz_c[None, :] - p[:, 2:3]))
+    def tent_const(rows, pp, c):
+        pp = pp + (1e-20 * c)
+        tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx_c[None, :] - pp[:, 0:1]))
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly_c[None, :] - pp[:, 1:2]))
+        tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz_c[None, :] - pp[:, 2:3]))
         w = tx * ty * tz
+        r = rows.astype(jnp.float32)
         outs = [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * w, axis=1,
                         keepdims=True) for f in range(F)]
         return jnp.concatenate(outs, axis=1)
 
-    timeit("tent_only_const_decode", tent_const, rows_res)
+    timeit("tent_only_const_decode", tent_const, rows_res, p)
+
+    # --- fused gather + tent (the real encode-forward) ---------------------
+    timeit("fused_current",
+           lambda t, c: _gather_interp(bump(t, c), flat_row, p, cfg),
+           table)
+
+    def fused_bf16_table(t, c):
+        rows = jnp.take(bump(t, c), flat_row, axis=0).astype(jnp.float32)
+        w = _tent_weights(p, cfg.side, lpf)
+        outs = [jnp.sum(rows[:, f * lpf:(f + 1) * lpf] * w, axis=1,
+                        keepdims=True) for f in range(F)]
+        return jnp.concatenate(outs, axis=1)
+
+    timeit("fused_precast_bf16", fused_bf16_table, tab_bf)
 
     def fused_const(t, c):
-        rows = jnp.take(t, flat_row, axis=0)
-        return tent_const(rows, c)
+        rows = jnp.take(bump(t, c), flat_row, axis=0)
+        return tent_const(rows, p, c * 0.0)
 
     timeit("fused_const_decode", fused_const, tab_bf)
 
@@ -224,14 +209,14 @@ def main():
 
     interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
 
-    def tent_pallas(rows, c):
-        r = (rows.astype(jnp.float32) * (1.0 + c)).astype(jnp.bfloat16)
-        return tent_contract(r, p, cfg.side, F, interpret=interp)
+    def tent_pallas(rows, pp, c):
+        return tent_contract(rows, pp + (1e-20 * c), cfg.side, F,
+                             interpret=interp)
 
-    timeit("tent_only_pallas", tent_pallas, rows_res)
+    timeit("tent_only_pallas", tent_pallas, rows_res, p)
 
     def fused_pallas(t, c):
-        rows = jnp.take(t * (1.0 + c).astype(t.dtype), flat_row, axis=0)
+        rows = jnp.take(bump(t, c), flat_row, axis=0)
         return tent_contract(rows, p, cfg.side, F, interpret=interp)
 
     timeit("fused_pallas_bf16", fused_pallas, tab_bf)
@@ -243,13 +228,13 @@ def main():
         flat_row.reshape(N, L) - jnp.arange(L, dtype=jnp.int32)[None] * R)
 
     def fused_per_level(t, c):
+        t = bump(t, c)
         outs = []
-        w = _tent_weights(p.reshape(N, L, 3)[:, 0], cfg.side, lpf)  # dummy
         for l in range(L):
             rows = jnp.take(t[l], rows_lvl[:, l], axis=0)
             pl_ = p.reshape(N, L, 3)[:, l]
             wl = _tent_weights(pl_, cfg.side, lpf)
-            r = rows.astype(jnp.float32) * (1.0 + c)
+            r = rows.astype(jnp.float32)
             outs += [jnp.sum(r[:, f * lpf:(f + 1) * lpf] * wl, axis=1,
                              keepdims=True) for f in range(F)]
         return jnp.concatenate(outs, axis=1)
