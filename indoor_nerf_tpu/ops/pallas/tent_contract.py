@@ -51,9 +51,18 @@ def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
     py = p_ref[:, 1:2]
     pz = p_ref[:, 2:3]
     lane = jax.lax.broadcasted_iota(jnp.int32, (px.shape[0], lpf), 1)
-    lx = (lane // (side * side)).astype(jnp.float32)
-    ly = ((lane // side) % side).astype(jnp.float32)
-    lz = (lane % side).astype(jnp.float32)
+    if side & (side - 1) == 0:
+        # Power-of-two tile side (the flagship block_size=3 -> side=4):
+        # shift/mask decode — Mosaic lowers integer division slowly.
+        s = side.bit_length() - 1
+        lx = jax.lax.shift_right_logical(lane, 2 * s).astype(jnp.float32)
+        ly = (jax.lax.shift_right_logical(lane, s) & (side - 1)).astype(
+            jnp.float32)
+        lz = (lane & (side - 1)).astype(jnp.float32)
+    else:
+        lx = (lane // (side * side)).astype(jnp.float32)
+        ly = ((lane // side) % side).astype(jnp.float32)
+        lz = (lane % side).astype(jnp.float32)
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - px))
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - py))
     tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pz))

@@ -41,6 +41,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n_points", type=int, default=131072)
     ap.add_argument("--n_steps", type=int, default=20)
+    ap.add_argument("--skip_pallas", action="store_true",
+                    help="XLA variants only (the Pallas kernel is the "
+                         "chip-wedge-risky part; measure it isolated)")
     ap.add_argument("--out", default="tpu_probe_encode_fwd.json")
     args = ap.parse_args()
 
@@ -205,21 +208,22 @@ def main():
     timeit("fused_const_decode", fused_const, tab_bf)
 
     # --- Pallas streaming contraction kernel --------------------------------
-    from indoor_nerf_tpu.ops.pallas.tent_contract import tent_contract
+    if not args.skip_pallas:
+        from indoor_nerf_tpu.ops.pallas.tent_contract import tent_contract
 
-    interp = jax.default_backend() != "tpu"  # CPU smoke runs use interpret
+        interp = jax.default_backend() != "tpu"  # CPU smoke: interpret
 
-    def tent_pallas(rows, pp, c):
-        return tent_contract(rows, pp + (1e-20 * c), cfg.side, F,
-                             interpret=interp)
+        def tent_pallas(rows, pp, c):
+            return tent_contract(rows, pp + (1e-20 * c), cfg.side, F,
+                                 interpret=interp)
 
-    timeit("tent_only_pallas", tent_pallas, rows_res, p)
+        timeit("tent_only_pallas", tent_pallas, rows_res, p)
 
-    def fused_pallas(t, c):
-        rows = jnp.take(bump(t, c), flat_row, axis=0)
-        return tent_contract(rows, p, cfg.side, F, interpret=interp)
+        def fused_pallas(t, c):
+            rows = jnp.take(bump(t, c), flat_row, axis=0)
+            return tent_contract(rows, p, cfg.side, F, interpret=interp)
 
-    timeit("fused_pallas_bf16", fused_pallas, tab_bf)
+        timeit("fused_pallas_bf16", fused_pallas, tab_bf)
 
     # Level-split: 8 separate gathers from per-level [R, W] tables —
     # tests whether table size (not total rows) sets the rate.
