@@ -126,6 +126,10 @@ def build_parser() -> argparse.ArgumentParser:
     add("--distortion_loss_weight", type=float, default=0.0,
         help="Mip-NeRF 360 interval-distortion regularizer on the per-ray "
              "weight distribution (extension; combats few-shot floaters)")
+    add("--table_decay_weight", type=float, default=0.0,
+        help="fine-level grid amplitude decay: weight * sum_l 2^(l-L+1) * "
+             "mean(table_l^2) added to the loss (extension; few-shot "
+             "memorization lives in the finest grid levels)")
     add("--reg_views", type=int, default=0,
         help="unobserved-view patches per step for RegNeRF-style depth-"
              "smoothness regularization (0 = off). Novel poses are sampled "

@@ -78,6 +78,16 @@ class TrainConfig:
     # 0 = from the start). Measured: weight 0.1 from iter 0 over-smooths
     # (-1.9 dB held-out on the s0 few-shot room arm).
     reg_start_iter: int = 0
+    # Fine-level grid amplitude decay (few-shot extension, off at 0.0):
+    # adds weight * sum_l 2^(l-(L-1)) * mean(table_l^2) to the loss —
+    # an L2 penalty that bears exponentially harder on FINER grid levels,
+    # whose capacity is what memorizes per-view detail in the few-shot
+    # regime (the reference's few-shot thesis is the train/test gap,
+    # test_structural_v2.sh:26-27; the nearest in-reference analogue is
+    # the optimizer's uniform weight_decay=1e-6 on net params only,
+    # run_nerf.py:281-285). One full-table pass per step. Applies to the
+    # block-hash (i_embed 3) and NGP hash (i_embed 1) tables.
+    table_decay_weight: float = 0.0
     use_structural_priors: bool = False
     structural_loss_start_iter: int = 2000
     structural_loss_ramp_iters: int = 1000
@@ -262,6 +272,24 @@ def train_step(
 
             dist = distortion_loss(out["weights"], out["z_vals"], near, far)
             loss = loss + config.distortion_loss_weight * dist
+
+        # Fine-level grid amplitude decay (few-shot extension; see
+        # TrainConfig.table_decay_weight). Per-level mean-square of the
+        # fused table, weighted 2^(l-(L-1)) so the finest level bears
+        # weight 1 and each coarser level half of the next — finer
+        # levels are where few-shot memorization lives.
+        if config.table_decay_weight > 0 and fc.i_embed in (1, 3):
+            tbl = params["table"]
+            if fc.i_embed == 3:
+                L_g = fc.block_grid.n_levels
+            else:
+                L_g = fc.grid.n_levels
+            lv_w = jnp.asarray(
+                [2.0 ** (l - (L_g - 1)) for l in range(L_g)], jnp.float32)
+            per_level = jnp.mean(
+                tbl.reshape(L_g, -1).astype(jnp.float32) ** 2, axis=1)
+            loss = loss + config.table_decay_weight * jnp.sum(
+                lv_w * per_level)
 
         # Unobserved-view depth smoothness (RegNeRF-style; extension).
         # Renders fixed-shape novel-view patches with the SAME field and

@@ -203,6 +203,7 @@ def build_train_config(args, scene: SceneData) -> TrainConfig:
         sparse_loss_weight=args.sparse_loss_weight,
         tv_loss_weight=args.tv_loss_weight,
         distortion_loss_weight=getattr(args, "distortion_loss_weight", 0.0),
+        table_decay_weight=getattr(args, "table_decay_weight", 0.0),
         reg_patch_size=getattr(args, "reg_patch_size", 8),
         reg_depth_tv_weight=(
             getattr(args, "reg_depth_tv_weight", 0.1)

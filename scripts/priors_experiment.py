@@ -109,7 +109,7 @@ def main():
             use_viewdirs: bool = True, use_appearance: bool = False,
             prior_start: int = None, reg_views: int = 0,
             reg_weight: float = None, reg_mode: str = None,
-            reg_start: int = None):
+            reg_start: int = None, table_decay: float = 0.0):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -153,6 +153,7 @@ def main():
             reg_mode=(reg_mode or args.reg_mode),
             reg_start_iter=(args.reg_start if reg_start is None
                             else reg_start),
+            table_decay_weight=table_decay,
         )
         # Few-shot: per-image sampling (the reference's no_batching mode
         # is what the priors pipeline expects — select_coords semantics).
@@ -244,6 +245,8 @@ def main():
             rs = args.reg_start if reg_start is None else reg_start
             tag += f"+reg{reg_views}({rm},w{rw:g}" + (
                 f",s{rs})" if rs else ")")
+        if table_decay:
+            tag += f"+tdecay{table_decay:g}"
         if use_priors and prior_start is not None:
             tag += f"@{prior_start}"
         print(f"{tag}: train {train_psnr:.2f} test {test_psnr:.2f} "
@@ -330,6 +333,13 @@ def main():
         "regplate+anneal": dict(reg_views=args.reg_views,
                                 freq_anneal_iters=A, reg_mode="planar",
                                 reg_start=500),
+        # Fine-level grid amplitude decay (round-5 extension;
+        # TrainConfig.table_decay_weight) — attacks few-shot
+        # memorization at the CAPACITY level, one decade swept.
+        "tdecay": dict(table_decay=1.0),
+        "tdecay+anneal": dict(table_decay=1.0, freq_anneal_iters=A),
+        "tdecayw01+anneal": dict(table_decay=0.1, freq_anneal_iters=A),
+        "tdecayw10+anneal": dict(table_decay=10.0, freq_anneal_iters=A),
     }
     legacy = ("priors", "distortion", "anneal", "vanneal", "appearance",
               "combo", "all")
