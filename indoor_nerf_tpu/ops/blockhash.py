@@ -63,7 +63,10 @@ USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
 # fused gather+tent runs at 3.5x the row-fetch wall (roofline_r4.json:
 # 12.17 ms vs 3.5 ms); the kernel streams the gathered rows through VMEM
 # once. Measured numbers in BENCH_NOTES.md round-5.
-USE_TENT_KERNEL = False
+# ``INDOOR_NERF_TENT_KERNEL=0/1`` overrides at import time so measurement
+# scripts can A/B the kernel without editing source mid-campaign.
+USE_TENT_KERNEL = bool(int(__import__("os").environ.get(
+    "INDOOR_NERF_TENT_KERNEL", "0")))
 # Test hook: run the tent kernel in interpreter mode off-TPU.
 _FORCE_TENT_KERNEL_INTERPRET = False
 # Route the fused backward's table scatter through the Pallas VMEM-resident
