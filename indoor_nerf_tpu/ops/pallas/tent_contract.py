@@ -42,7 +42,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_CHUNK = 2048  # rows per grid step
+_CHUNK = 2048  # rows per grid step (default; tunable per call)
 _PLANES = 128  # lane padding of the position operand
 
 
@@ -72,40 +72,57 @@ def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
         r = rows_ref[:, f * lpf:(f + 1) * lpf].astype(jnp.float32)
         outs.append(jnp.sum(r * w, axis=1, keepdims=True))
     out = jnp.concatenate(outs, axis=1)  # [chunk, F]
-    out_ref[...] = jnp.pad(out, ((0, 0), (0, out_ref.shape[1] - F)))
+    out_ref[...] = jnp.pad(out, ((0, 0), (0, out_ref.shape[1] - F))).astype(
+        out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("side", "F", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "side", "F", "interpret", "chunk", "out_dtype", "input_fusion"))
 def tent_contract(
     rows: jnp.ndarray, p: jnp.ndarray, side: int, F: int,
-    interpret: bool = False,
+    interpret: bool = False, chunk: int = _CHUNK,
+    out_dtype=jnp.float32, input_fusion: bool = False,
 ) -> jnp.ndarray:
-    """Contraction ``rows [M, F*lpf] x p [M, 3] -> [M, F]`` f32.
+    """Contraction ``rows [M, F*lpf] x p [M, 3] -> [M, F]``.
 
     ``rows`` may be bfloat16 or float32 (multiply in f32 either way).
     ``p`` is the in-tile position (tent support [0, side-1]).
+    ``chunk`` sets rows per grid step (VMEM per step = ~3 blocks x chunk;
+    fewer, larger steps amortize Mosaic's per-step overhead).
+    ``out_dtype=bfloat16`` halves the padded [M, 128] output write — free
+    downstream, the MLP casts its inputs to bf16 anyway (models/mlp.py).
+    ``input_fusion`` lets XLA fuse the producer of ``rows`` (the row
+    gather) into the kernel's input loads, eliding the materialized
+    [M, W] intermediate the pallas_call boundary otherwise forces.
     """
     M, W = rows.shape
     lpf = W // F
-    m_pad = (M + _CHUNK - 1) // _CHUNK * _CHUNK
+    m_pad = (M + chunk - 1) // chunk * chunk
     if m_pad != M:
         rows = jnp.pad(rows, ((0, m_pad - M), (0, 0)))
         p = jnp.pad(p, ((0, m_pad - M), (0, 0)))
     # Lane-align the position operand (3 -> 128); [M, 3] f32 already
     # occupies a full 128-lane tile physically, so this adds no HBM bytes.
     p = jnp.pad(p, ((0, 0), (0, _PLANES - 3)))
+    kwargs = {}
+    if not interpret:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            allow_input_fusion=[input_fusion, False],
+        )
     out = pl.pallas_call(
         functools.partial(_kernel, side=side, F=F, lpf=lpf),
-        grid=(m_pad // _CHUNK,),
+        grid=(m_pad // chunk,),
         in_specs=[
-            pl.BlockSpec((_CHUNK, W), lambda i: (i, 0),
+            pl.BlockSpec((chunk, W), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_CHUNK, _PLANES), lambda i: (i, 0),
+            pl.BlockSpec((chunk, _PLANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((_CHUNK, 128), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((chunk, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m_pad, 128), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((m_pad, 128), out_dtype),
         interpret=interpret,
+        **kwargs,
     )(rows, p)
     return out[:M, :F]
