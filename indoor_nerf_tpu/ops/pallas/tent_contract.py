@@ -46,7 +46,7 @@ _CHUNK = 2048  # rows per grid step (default; tunable per call)
 _PLANES = 128  # lane padding of the position operand
 
 
-def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
+def _tents(p_ref, side: int, lpf: int):
     px = p_ref[:, 0:1]
     py = p_ref[:, 1:2]
     pz = p_ref[:, 2:3]
@@ -66,7 +66,11 @@ def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
     tx = jnp.maximum(0.0, 1.0 - jnp.abs(lx - px))
     ty = jnp.maximum(0.0, 1.0 - jnp.abs(ly - py))
     tz = jnp.maximum(0.0, 1.0 - jnp.abs(lz - pz))
-    w = tx * ty * tz  # [chunk, lpf]
+    return tx * ty * tz  # [chunk, lpf]
+
+
+def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
+    w = _tents(p_ref, side, lpf)
     outs = []
     for f in range(F):
         r = rows_ref[:, f * lpf:(f + 1) * lpf].astype(jnp.float32)
@@ -76,12 +80,36 @@ def _kernel(rows_ref, p_ref, out_ref, *, side: int, F: int, lpf: int):
         out_ref.dtype)
 
 
+def _kernel_mxu(rows_ref, p_ref, sel_ref, out_ref, *, side: int, F: int,
+                lpf: int):
+    """Segment reduction on the MXU: out = (rows . w_tiled) @ sel.
+
+    The VPU kernel's per-feature lane reductions produce [chunk, 1]
+    vregs (127/128 lanes dead) plus a lane concat; one [chunk, W] x
+    [W, 128] bf16 matmul against the constant 0/1 segment matrix does
+    all F reductions at once on the otherwise-idle MXU, emitting the
+    final [chunk, 128] block directly (lanes >= F are zero columns).
+    The weighted product is rounded to bf16 once before the matmul —
+    same precision class as the bf16 row gather itself.
+    """
+    w = _tents(p_ref, side, lpf)
+    wt = jnp.concatenate([w] * F, axis=1)  # [chunk, W], 64-aligned copies
+    prod = (rows_ref[...].astype(jnp.float32) * wt).astype(jnp.bfloat16)
+    out = jax.lax.dot_general(
+        prod, sel_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    out_ref[...] = out.astype(out_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=(
-    "side", "F", "interpret", "chunk", "out_dtype", "input_fusion"))
+    "side", "F", "interpret", "chunk", "out_dtype", "input_fusion",
+    "reduce"))
 def tent_contract(
     rows: jnp.ndarray, p: jnp.ndarray, side: int, F: int,
     interpret: bool = False, chunk: int = _CHUNK,
     out_dtype=jnp.float32, input_fusion: bool = False,
+    reduce: str = "vpu",
 ) -> jnp.ndarray:
     """Contraction ``rows [M, F*lpf] x p [M, 3] -> [M, F]``.
 
@@ -104,25 +132,38 @@ def tent_contract(
     # Lane-align the position operand (3 -> 128); [M, 3] f32 already
     # occupies a full 128-lane tile physically, so this adds no HBM bytes.
     p = jnp.pad(p, ((0, 0), (0, _PLANES - 3)))
+    in_specs = [
+        pl.BlockSpec((chunk, W), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, _PLANES), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [rows, p]
+    if reduce == "mxu":
+        kern = functools.partial(_kernel_mxu, side=side, F=F, lpf=lpf)
+        # Constant 0/1 segment matrix sel[w, f] = (w // lpf == f); the
+        # constant index_map makes Mosaic fetch it once, not per step.
+        seg = jnp.arange(W, dtype=jnp.int32) // lpf
+        sel = (seg[:, None] == jnp.arange(128)[None, :]).astype(jnp.bfloat16)
+        in_specs.append(pl.BlockSpec((W, 128), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(sel)
+    else:
+        kern = functools.partial(_kernel, side=side, F=F, lpf=lpf)
     kwargs = {}
     if not interpret:
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel",),
-            allow_input_fusion=[input_fusion, False],
+            allow_input_fusion=[input_fusion] + [False] * (len(operands) - 1),
         )
     out = pl.pallas_call(
-        functools.partial(_kernel, side=side, F=F, lpf=lpf),
+        kern,
         grid=(m_pad // chunk,),
-        in_specs=[
-            pl.BlockSpec((chunk, W), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, _PLANES), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((chunk, 128), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, 128), out_dtype),
         interpret=interpret,
         **kwargs,
-    )(rows, p)
+    )(*operands)
     return out[:M, :F]

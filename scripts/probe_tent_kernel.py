@@ -101,19 +101,24 @@ def main():
 
     # Tuning grid (round 5): chunk size x bf16 output x gather input
     # fusion. Each is a separate Mosaic compile; keep the grid tight.
-    for chunk, odt, fuse in [
-        (2048, "bf16", False),
-        (4096, "bf16", False),
-        (8192, "bf16", False),
-        (4096, "f32", False),
-        (4096, "bf16", True),
+    for chunk, odt, fuse, red in [
+        (2048, "bf16", False, "vpu"),
+        (4096, "bf16", False, "vpu"),
+        (8192, "bf16", False, "vpu"),
+        (4096, "f32", False, "vpu"),
+        (4096, "bf16", True, "vpu"),
+        (2048, "bf16", False, "mxu"),
+        (4096, "bf16", False, "mxu"),
+        (4096, "bf16", True, "mxu"),
     ]:
         od = jnp.bfloat16 if odt == "bf16" else jnp.float32
-        timeit(f"k_c{chunk}_{odt}" + ("_fuse" if fuse else ""),
-               lambda t, c, chunk=chunk, od=od, fuse=fuse: tent_contract(
+        timeit(f"k_c{chunk}_{odt}" + ("_fuse" if fuse else "")
+               + ("_mxu" if red == "mxu" else ""),
+               lambda t, c, chunk=chunk, od=od, fuse=fuse, red=red:
+               tent_contract(
                    jnp.take(bump(t, c), flat_row, axis=0), p, cfg.side, F,
                    interpret=interp, chunk=chunk, out_dtype=od,
-                   input_fusion=fuse),
+                   input_fusion=fuse, reduce=red),
                tab_bf)
 
     with open(args.out, "w") as f:

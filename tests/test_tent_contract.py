@@ -53,6 +53,27 @@ def test_tent_contract_matches_reference(side, F, dtype, rng):
     np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("chunk,out_dtype,reduce", [
+    (512, jnp.bfloat16, "vpu"),
+    (512, jnp.float32, "mxu"),
+    (2048, jnp.bfloat16, "mxu"),
+])
+def test_tent_contract_tuning_knobs_match(chunk, out_dtype, reduce, rng):
+    """Chunk size, bf16 output, and the MXU segment reduction are all
+    numerics-preserving to bf16 tolerance (the MXU path rounds the
+    weighted product to bf16 once; the bf16 output rounds the result)."""
+    side, F, lpf = 4, 4, 64
+    M = 3000
+    rows = rng.standard_normal((M, F * lpf)).astype(np.float32)
+    p = rng.uniform(0.0, side - 1, size=(M, 3)).astype(np.float32)
+    rows_bf = jnp.asarray(rows, jnp.bfloat16)
+    out = tent_contract(rows_bf, jnp.asarray(p), side, F, interpret=True,
+                        chunk=chunk, out_dtype=out_dtype, reduce=reduce)
+    want = _ref_contract(np.asarray(rows_bf, np.float32), p, side, F)
+    np.testing.assert_allclose(np.asarray(out, np.float32), want,
+                               rtol=0.02, atol=0.02)
+
+
 def test_fused_encode_with_tent_kernel_matches_xla(rng, monkeypatch):
     """The fused custom-VJP encode with USE_TENT_KERNEL produces the same
     features AND the same table gradient as the plain XLA path."""
