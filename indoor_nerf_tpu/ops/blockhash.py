@@ -67,6 +67,16 @@ USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
 # scripts can A/B the kernel without editing source mid-campaign.
 USE_TENT_KERNEL = bool(int(__import__("os").environ.get(
     "INDOOR_NERF_TENT_KERNEL", "0")))
+# Kernel tuning knobs (probe sweep: scripts/probe_tent_kernel.py /
+# tpu_probe_tent_kernel.json); env-overridable for the same reason.
+TENT_KERNEL_CHUNK = int(__import__("os").environ.get(
+    "INDOOR_NERF_TENT_CHUNK", "2048"))
+TENT_KERNEL_OUT = __import__("os").environ.get(
+    "INDOOR_NERF_TENT_OUT", "float32")  # float32 | bfloat16
+TENT_KERNEL_REDUCE = __import__("os").environ.get(
+    "INDOOR_NERF_TENT_REDUCE", "vpu")  # vpu | mxu
+TENT_KERNEL_FUSE = bool(int(__import__("os").environ.get(
+    "INDOOR_NERF_TENT_FUSE", "0")))
 # Test hook: run the tent kernel in interpreter mode off-TPU.
 _FORCE_TENT_KERNEL_INTERPRET = False
 # Route the fused backward's table scatter through the Pallas VMEM-resident
@@ -381,9 +391,16 @@ def _gather_interp(
             if config.gather_dtype == "bfloat16":
                 src = table.astype(jnp.bfloat16)
             raw = jnp.take(src, flat_row, axis=0)
-            return tent_contract(
+            out = tent_contract(
                 raw, p, config.side, config.n_features_per_level,
-                interpret=not on_tpu)
+                interpret=not on_tpu, chunk=TENT_KERNEL_CHUNK,
+                out_dtype=(jnp.bfloat16 if TENT_KERNEL_OUT == "bfloat16"
+                           else jnp.float32),
+                input_fusion=TENT_KERNEL_FUSE,
+                reduce=TENT_KERNEL_REDUCE)
+            if out.dtype != jnp.float32:
+                out = out.astype(jnp.float32)
+            return out
     rows = _gather_rows(table, flat_row, config)
 
     if USE_TILE_INTERP_KERNEL and config.block_size == BLOCK:
