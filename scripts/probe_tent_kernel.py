@@ -83,6 +83,10 @@ def main():
                          "mrows_s": round(M / (dt / 1e3) / 1e6, 1)}
         print(f"{name:16s} {dt:8.3f} ms  {results[name]['mrows_s']:7.1f} "
               f"M rows/s", flush=True)
+        # Incremental dump: a Mosaic compile later in the sweep can wedge
+        # the chip; completed variants must survive.
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
 
     def bump(t, c):
         return t * (1.0 + c).astype(t.dtype)
