@@ -152,9 +152,15 @@ def tent_contract(
         kern = functools.partial(_kernel, side=side, F=F, lpf=lpf)
     kwargs = {}
     if not interpret:
+        # Double-buffered VMEM need; chunks > 4096 exceed the 16 MB
+        # scoped default (same pattern as table_scatter.py).
+        need = 2 * chunk * (W * rows.dtype.itemsize + _PLANES * 4
+                            + 128 * jnp.dtype(out_dtype).itemsize) + (1 << 20)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             allow_input_fusion=[input_fusion] + [False] * (len(operands) - 1),
+            **({"vmem_limit_bytes": need}
+               if need > 16 * 1024 * 1024 else {}),
         )
     out = pl.pallas_call(
         kern,

@@ -114,6 +114,7 @@ def main():
         (2048, "bf16", False, "mxu"),
         (4096, "bf16", False, "mxu"),
         (4096, "bf16", True, "mxu"),
+        (8192, "bf16", False, "mxu"),
     ]:
         od = jnp.bfloat16 if odt == "bf16" else jnp.float32
         timeit(f"k_c{chunk}_{odt}" + ("_fuse" if fuse else "")
