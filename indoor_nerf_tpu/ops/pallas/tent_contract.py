@@ -152,10 +152,12 @@ def tent_contract(
         kern = functools.partial(_kernel, side=side, F=F, lpf=lpf)
     kwargs = {}
     if not interpret:
-        # Double-buffered VMEM need; chunks > 4096 exceed the 16 MB
-        # scoped default (same pattern as table_scatter.py).
-        need = 2 * chunk * (W * rows.dtype.itemsize + _PLANES * 4
-                            + 128 * jnp.dtype(out_dtype).itemsize) + (1 << 20)
+        # VMEM need: Mosaic's stack allocation measures ~1.9x the naive
+        # double-buffered block sum (measured: chunk 4096, W=256, bf16
+        # rows/out -> 19.66 MB vs the naive 10.5 MB; tpu_probe_tent_sweep
+        # round-5 compile crash). Budget 4x single-buffer + slack.
+        need = 4 * chunk * (W * rows.dtype.itemsize + _PLANES * 4
+                            + 128 * jnp.dtype(out_dtype).itemsize) + (2 << 20)
         kwargs["compiler_params"] = pltpu.CompilerParams(
             dimension_semantics=("parallel",),
             allow_input_fusion=[input_fusion] + [False] * (len(operands) - 1),
