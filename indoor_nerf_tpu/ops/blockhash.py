@@ -62,19 +62,26 @@ USE_TILE_INTERP_KERNEL = False  # Pallas tile_interp (measured slower; see note)
 # introduced — the lesson of the retired tile_interp kernel). The XLA
 # fused gather+tent runs at 3.5x the row-fetch wall (roofline_r4.json:
 # 12.17 ms vs 3.5 ms); the kernel streams the gathered rows through VMEM
-# once. Measured numbers in BENCH_NOTES.md round-5.
+# once. DEFAULT ON since round 5: the MXU segment-reduction variant
+# measures 9.78 ms vs XLA's 11.50 at the flagship shapes (-15%), +3.1%
+# end-to-end (94.0k vs 91.2k rays/s same-session), quality-neutral on
+# the paired same-seed convergence protocol (held-out -0.09 dB, within
+# the numerics-trajectory floor; BENCH_NOTES.md round-5 tent section,
+# tpu_probe_tent_sweep.json, convergence_r5_tent*.json).
 # ``INDOOR_NERF_TENT_KERNEL=0/1`` overrides at import time so measurement
 # scripts can A/B the kernel without editing source mid-campaign.
 USE_TENT_KERNEL = bool(int(__import__("os").environ.get(
-    "INDOOR_NERF_TENT_KERNEL", "0")))
+    "INDOOR_NERF_TENT_KERNEL", "1")))
 # Kernel tuning knobs (probe sweep: scripts/probe_tent_kernel.py /
-# tpu_probe_tent_kernel.json); env-overridable for the same reason.
+# tpu_probe_tent_sweep.json); env-overridable for the same reason.
+# Defaults = the sweep's winner (c4096, bf16 out, MXU segment reduce;
+# input fusion measured no-effect and stays off).
 TENT_KERNEL_CHUNK = int(__import__("os").environ.get(
-    "INDOOR_NERF_TENT_CHUNK", "2048"))
+    "INDOOR_NERF_TENT_CHUNK", "4096"))
 TENT_KERNEL_OUT = __import__("os").environ.get(
-    "INDOOR_NERF_TENT_OUT", "float32")  # float32 | bfloat16
+    "INDOOR_NERF_TENT_OUT", "bfloat16")  # float32 | bfloat16
 TENT_KERNEL_REDUCE = __import__("os").environ.get(
-    "INDOOR_NERF_TENT_REDUCE", "vpu")  # vpu | mxu
+    "INDOOR_NERF_TENT_REDUCE", "mxu")  # vpu | mxu
 TENT_KERNEL_FUSE = bool(int(__import__("os").environ.get(
     "INDOOR_NERF_TENT_FUSE", "0")))
 # Test hook: run the tent kernel in interpreter mode off-TPU.

@@ -74,9 +74,8 @@ def test_tent_contract_tuning_knobs_match(chunk, out_dtype, reduce, rng):
                                rtol=0.02, atol=0.02)
 
 
-def test_fused_encode_with_tent_kernel_matches_xla(rng, monkeypatch):
-    """The fused custom-VJP encode with USE_TENT_KERNEL produces the same
-    features AND the same table gradient as the plain XLA path."""
+def _fused_encode_ab(rng, monkeypatch, knobs):
+    """(features, grads) for the XLA path vs the tent-kernel path."""
     cfg = BlockHashConfig(
         bbox_min=(-1.0, -1.0, -1.0), bbox_max=(1.0, 1.0, 1.0),
         n_levels=4, n_features_per_level=4, log2_rows=6,
@@ -91,13 +90,35 @@ def test_fused_encode_with_tent_kernel_matches_xla(rng, monkeypatch):
         f, _ = block_hash_encode(x, t, cfg)
         return jnp.sum(f ** 2), f
 
-    (l0, f0), g0 = jax.value_and_grad(loss, has_aux=True)(table)
+    monkeypatch.setattr(bh, "USE_TENT_KERNEL", False)
+    (_, f0), g0 = jax.value_and_grad(loss, has_aux=True)(table)
 
     monkeypatch.setattr(bh, "USE_TENT_KERNEL", True)
     monkeypatch.setattr(bh, "_FORCE_TENT_KERNEL_INTERPRET", True)
-    (l1, f1), g1 = jax.value_and_grad(loss, has_aux=True)(table)
+    for k, v in knobs.items():
+        monkeypatch.setattr(bh, k, v)
+    (_, f1), g1 = jax.value_and_grad(loss, has_aux=True)(table)
+    return f0, g0, f1, g1
 
+
+def test_fused_encode_with_tent_kernel_matches_xla(rng, monkeypatch):
+    """The fused custom-VJP encode through the exact (VPU, f32-out)
+    kernel produces the same features AND table gradient as XLA."""
+    f0, g0, f1, g1 = _fused_encode_ab(rng, monkeypatch, {
+        "TENT_KERNEL_REDUCE": "vpu", "TENT_KERNEL_OUT": "float32",
+        "TENT_KERNEL_CHUNK": 2048})
     np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_fused_encode_with_production_tent_defaults(rng, monkeypatch):
+    """The shipped defaults (MXU reduce, bf16 out) stay within bf16
+    rounding of the XLA path — same precision class as the bf16 row
+    gather itself (BENCH_NOTES.md round-5 tent section)."""
+    f0, g0, f1, g1 = _fused_encode_ab(rng, monkeypatch, {})
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=0.02, atol=0.02)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=0.02, atol=0.05)
