@@ -110,8 +110,20 @@ class UnobservedPatchSampler:
         patch: int = 8,
         seed: int = 0,
         jitter_frac: float = 0.15,
+        pose_mode: str = "novel",
     ):
+        if pose_mode not in ("novel", "train"):
+            raise ValueError(f"pose_mode must be 'novel' or 'train', got "
+                             f"{pose_mode!r}")
+        # ``train``: patches come from the TRAINING cameras themselves —
+        # the classic monocular depth-smoothness prior. Motivated by the
+        # round-5 refutation of the novel-pose mode (BENCH_NOTES round-5
+        # few-shot section): in unobserved regions no photometric term
+        # opposes the prior, so it converges to degenerate flat geometry;
+        # at training poses the photometric loss supplies the opposition.
+        self.pose_mode = pose_mode
         cams = np.asarray(poses, np.float64)[:, :3, :4]
+        self._cams = cams
         self.H, self.W, self.K = H, W, np.asarray(K, np.float64)
         self.n_patches = int(n_patches)
         self.patch = int(patch)
@@ -145,6 +157,8 @@ class UnobservedPatchSampler:
 
     def _novel_c2w(self) -> np.ndarray:
         n = self.pos.shape[0]
+        if self.pose_mode == "train":
+            return self._cams[self._rng.integers(0, n)]
         a, bi = self._rng.integers(0, n, size=2)
         t = self._rng.uniform()
         p = (1.0 - t) * self.pos[a] + t * self.pos[bi]

@@ -148,6 +148,13 @@ def build_parser() -> argparse.ArgumentParser:
              "(planes cost zero at any slant — indoor-targeted)")
     add("--reg_start_iter", type=int, default=0,
         help="iteration the patch regularizer activates at (in-jit gate)")
+    add("--reg_pose_mode", type=str, default="novel",
+        choices=["novel", "train"],
+        help="patch pose source: 'novel' = unobserved poses from the "
+             "camera hull (RegNeRF-style; measured destructive standalone "
+             "— DIVERGENCES #34); 'train' = the training cameras "
+             "themselves (classic monocular depth smoothness, "
+             "photometrically opposed)")
     add("--ema_decay", type=float, default=0.0,
         help="Polyak EMA of params; eval renders then use the averaged "
              "weights (extension; measured NEUTRAL-NEGATIVE on the fast "

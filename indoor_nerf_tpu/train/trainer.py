@@ -515,6 +515,7 @@ def train(args) -> Dict:
             n_patches=args.reg_views // n_proc,
             patch=getattr(args, "reg_patch_size", 8),
             seed=host_seed + 13,
+            pose_mode=getattr(args, "reg_pose_mode", "novel"),
         )
         base_sample = sample
         def sample(i, _base=base_sample, _reg=reg_sampler):

@@ -109,7 +109,8 @@ def main():
             use_viewdirs: bool = True, use_appearance: bool = False,
             prior_start: int = None, reg_views: int = 0,
             reg_weight: float = None, reg_mode: str = None,
-            reg_start: int = None, table_decay: float = 0.0):
+            reg_start: int = None, table_decay: float = 0.0,
+            reg_pose: str = "novel"):
         bg = BlockHashConfig(
             bbox_min=scene["bbox_min"], bbox_max=scene["bbox_max"],
             n_levels=args.n_levels, log2_rows=args.log2_rows,
@@ -168,6 +169,7 @@ def main():
             reg_sampler = UnobservedPatchSampler(
                 scene["poses"][scene["i_split"][0]], H, W, scene["K"],
                 n_patches=reg_views, seed=args.seed + 13,
+                pose_mode=reg_pose,
             )
         state = init_train_state(jax.random.PRNGKey(args.seed), cfg)
         from indoor_nerf_tpu.train.step import default_prior_weights
@@ -244,7 +246,8 @@ def main():
             rw = args.reg_weight if reg_weight is None else reg_weight
             rs = args.reg_start if reg_start is None else reg_start
             tag += f"+reg{reg_views}({rm},w{rw:g}" + (
-                f",s{rs})" if rs else ")")
+                f",s{rs}" if rs else "") + (
+                ",train)" if reg_pose == "train" else ")")
         if table_decay:
             tag += f"+tdecay{table_decay:g}"
         if use_priors and prior_start is not None:
@@ -330,6 +333,15 @@ def main():
                                reg_weight=0.01),
         "reglate+anneal": dict(reg_views=args.reg_views,
                                freq_anneal_iters=A, reg_start=500),
+        # Training-pose patch smoothing (round-5 follow-up to the
+        # novel-pose refutation: photometric opposition restores an
+        # equilibrium — data/pipeline.py pose_mode="train").
+        "regtrain": dict(reg_views=args.reg_views, reg_pose="train"),
+        "regtrain+anneal": dict(reg_views=args.reg_views,
+                                freq_anneal_iters=A, reg_pose="train"),
+        "regtrainw01+anneal": dict(reg_views=args.reg_views,
+                                   freq_anneal_iters=A, reg_pose="train",
+                                   reg_weight=0.01),
         "regplate+anneal": dict(reg_views=args.reg_views,
                                 freq_anneal_iters=A, reg_mode="planar",
                                 reg_start=500),

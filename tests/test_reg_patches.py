@@ -245,3 +245,24 @@ def test_reg_start_iter_gates_the_loss():
     _, m_on3 = jax.jit(functools.partial(run, cfg_on))(s_on3)
     _, m_off3 = jax.jit(functools.partial(run, cfg_off))(s_off3)
     assert float(m_on3["loss"]) != float(m_off3["loss"])
+
+
+def test_patch_sampler_train_pose_mode():
+    """pose_mode='train' emits patches whose origins are EXACTLY training
+    camera centers (classic monocular smoothness — photometrically
+    opposed; round-5 follow-up to the novel-pose refutation)."""
+    scene = make_synthetic_scene(n_views=8, H=32, W=32)
+    H, W, _ = scene["hwf"]
+    train_poses = scene["poses"][scene["i_split"][0]]
+    s = UnobservedPatchSampler(train_poses, H, W, scene["K"],
+                               n_patches=4, patch=8, seed=0,
+                               pose_mode="train")
+    out = s.next()
+    o = out["reg_rays_o"].reshape(4, 64, 3)
+    centers = train_poses[:, :3, 3]
+    for p in range(4):
+        d = np.linalg.norm(centers - o[p][0][None], axis=-1)
+        assert d.min() < 1e-5  # origin IS some training camera
+    with pytest.raises(ValueError):
+        UnobservedPatchSampler(train_poses, H, W, scene["K"],
+                               n_patches=1, pose_mode="typo")
